@@ -1,0 +1,100 @@
+"""Render configuration.
+
+Every magic number hard-coded in the reference becomes a config field here with
+the reference's value as the default (SURVEY.md section 5, "Config / flag system"):
+
+- 16x16 tile grid        -> ``grid_x`` / ``grid_y``   (ref ``shaders/preprocess.glsl:143-149``)
+- 2x duplicate capacity  -> ``dup_capacity_factor``   (ref ``src/Splats.cpp:95-102``)
+- 0.3 dilation           -> ``dilation``              (ref ``shaders/preprocess.glsl:127-128``)
+- 3-sigma radius         -> ``radius_sigma``          (ref ``shaders/preprocess.glsl:142``)
+- 1/255 alpha cutoff     -> ``alpha_min``             (ref ``shaders/draw.glsl:123``)
+- 0.99 alpha clamp       -> ``alpha_max``             (ref ``shaders/draw.glsl:122``)
+- 0.99 saturation        -> ``saturation``            (ref ``shaders/draw.glsl:129``)
+- 1.3*tanFov view clamp  -> ``fov_margin``            (ref ``shaders/preprocess.glsl:111-116``)
+- 1e-4 w clamp           -> ``w_eps``                 (ref ``shaders/preprocess.glsl:78``)
+- colours in 0..255      -> ``color_scale``           (ref ``src/Splats.cpp:295``, ``draw.glsl:141``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) configuration for the rendering pipeline."""
+
+    # Tile grid: the screen is split into grid_x * grid_y tiles; one packed
+    # (tile, depth) key per record makes a single sort produce per-tile
+    # depth-ordered ranges (ref shaders/preprocess.glsl:143-154).
+    grid_x: int = 16
+    grid_y: int = 16
+
+    # Record capacity = dup_capacity_factor * num_splats, statically shaped.
+    # The reference sizes its duplicate-capable buffers at 2x numSplats
+    # (src/Splats.cpp:95-102) and clamps the duplicate count; we drop overflow
+    # records and report the overflow count as a metric instead of a host sync.
+    dup_capacity_factor: float = 2.0
+
+    # EWA projection constants (shaders/preprocess.glsl).
+    dilation: float = 0.3
+    radius_sigma: float = 3.0
+    fov_margin: float = 1.3
+    w_eps: float = 1e-4
+    eig_floor: float = 0.1  # max(0.1, ...) under the sqrt, preprocess.glsl:140-141
+
+    # Compositing constants (shaders/draw.glsl).
+    alpha_min: float = 1.0 / 255.0
+    alpha_max: float = 0.99
+    saturation: float = 0.99
+
+    # Colours are stored pre-scaled to 0..255 at load (src/Splats.cpp:295) and
+    # divided back down at the end of draw (shaders/draw.glsl:141).
+    color_scale: float = 255.0
+
+    # Background colour composited behind the splats (reference clears to 0).
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # Depth-key mode:
+    #   "pair"      - lexicographic (tile:int32, depth:float32) sort; full float
+    #                 depth precision at any tile count (TPU-native design).
+    #   "reference" - single float32 key = tileIndex + ndc_z in [0,1)
+    #                 (ref shaders/preprocess.glsl:154); loses depth precision
+    #                 as tileIndex grows; kept for parity testing.
+    depth_key: str = "pair"
+
+    # Static cap on records composited per tile by the jnp fallback compositor
+    # (rounded up to chunk size). Overflow is dropped and counted in stats.
+    # The Pallas compositor has no such cap (it streams ragged ranges).
+    max_per_tile: int = 4096
+
+    # Chunk of records processed per inner step of the compositors (the Pallas
+    # analogue of draw.glsl's 1024-splat shared-memory batches).
+    chunk: int = 256
+
+    # Use the fused Pallas tile-compositing kernel when available.
+    use_pallas: bool = True
+
+    # Replicate the reference GPU preprocess quirk of computing the tile size
+    # with integer division (preprocess.glsl:143) instead of float division
+    # (Splats.cpp:596). Only differs when width/height % grid != 0.
+    int_tile_size: bool = False
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+    def tile_size(self, width: int, height: int) -> Tuple[float, float]:
+        """Pixel size of one tile (tile_w, tile_h)."""
+        if self.int_tile_size:
+            return float(width // self.grid_x), float(height // self.grid_y)
+        return width / self.grid_x, height / self.grid_y
+
+    def capacity(self, num_splats: int) -> int:
+        """Static record capacity for a scene with ``num_splats`` splats."""
+        cap = int(self.dup_capacity_factor * num_splats)
+        # Round up to a multiple of the chunk size so Pallas DMA slices are
+        # uniform; padding records carry a sentinel tile id.
+        c = max(cap, self.chunk)
+        return -(-c // self.chunk) * self.chunk

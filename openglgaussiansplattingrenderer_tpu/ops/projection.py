@@ -1,0 +1,134 @@
+"""EWA screen-space projection ("preprocess"), vectorized jnp.
+
+TPU-native equivalent of ``shaders/preprocess.glsl`` (dispatched per-splat with
+workgroup size 1 in the reference, ``src/Splats.cpp:576``): a pure map over
+splats, expressed as fused elementwise jnp ops over (N,) arrays so XLA tiles it
+onto the VPU. Differentiable end-to-end; the data-dependent duplication is
+deferred to ``ops/binning.py`` (the reference uses an atomic counter + host
+readback, ``preprocess.glsl:157-189`` + ``Splats.cpp:579-583``).
+
+Math (verified against a literal glm/GLSL emulation in
+``tests/test_projection.py``):
+
+- p = VP @ mean, p /= max(p.w, 1e-4)                     (preprocess.glsl:77-78)
+- frustum cull: |ndc.x| > 1 or |ndc.y| > 1               (preprocess.glsl:80-89)
+- screen: s = (ndc + 1)/2 * (W, H), z01 = (ndc.z + 1)/2  (preprocess.glsl:91-94)
+- view-space t with the 1.3*tanFov clamp                 (preprocess.glsl:110-116)
+- cov2d = U Sigma U^T + dilation*I with U = J @ View3x3,
+  J the 2x3 EWA Jacobian; the reference's transposed-glm formulation
+  transpose(T)*transpose(Sigma)*T reduces to exactly this (preprocess.glsl:118-128)
+- conic = inverse(cov2d) packed (A, B, C) s.t.
+  power = -0.5(A dx^2 + C dy^2) - B dx dy                (preprocess.glsl:130-136)
+- radius = ceil(3*sqrt(lambda_max)) via closed-form eigenvalues
+                                                         (preprocess.glsl:139-142)
+- tile range [tmin, tmax] clamped to the 16x16 grid      (preprocess.glsl:143-149)
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.ops.transforms import covariance_quadratic_form
+
+
+def preprocess(
+    means: jnp.ndarray,       # (N, 3)
+    cov6: jnp.ndarray,        # (N, 6) packed 3D covariance
+    opacities: jnp.ndarray,   # (N,)
+    view: jnp.ndarray,        # (4, 4)
+    vp: jnp.ndarray,          # (4, 4) projection @ view
+    width: int,
+    height: int,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    cfg: RenderConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Project all splats to screen space. Returns per-splat arrays."""
+    f32 = jnp.float32
+    means = means.astype(f32)
+    n = means.shape[0]
+    means4 = jnp.concatenate([means, jnp.ones((n, 1), f32)], axis=1)
+
+    # --- projection of the mean (preprocess.glsl:77-94) -------------------
+    p = means4 @ vp.T.astype(f32)                        # (N, 4) clip space
+    w = jnp.maximum(p[:, 3], cfg.w_eps)
+    ndc = p / w[:, None]
+    culled = (jnp.abs(ndc[:, 0]) > 1.0) | (jnp.abs(ndc[:, 1]) > 1.0)
+    sx = (ndc[:, 0] + 1.0) * 0.5 * width
+    sy = (ndc[:, 1] + 1.0) * 0.5 * height
+    z01 = (ndc[:, 2] + 1.0) * 0.5
+
+    # --- view-space position with fov clamp (preprocess.glsl:110-116) -----
+    t = means4 @ view.T.astype(f32)                      # (N, 4)
+    tz = t[:, 2]
+    # Reference quirk kept verbatim: limx = -margin * tanFov and the clamp is
+    # written min(limx, max(-limx, x)). With the reference Camera's
+    # degrees-as-radians tan values this acts as a wide symmetric clamp.
+    limx = jnp.asarray(-cfg.fov_margin * tan_fovx, f32)
+    limy = jnp.asarray(-cfg.fov_margin * tan_fovy, f32)
+    txtz = t[:, 0] / tz
+    tytz = t[:, 1] / tz
+    tx = jnp.minimum(limx, jnp.maximum(-limx, txtz)) * tz
+    ty = jnp.minimum(limy, jnp.maximum(-limy, tytz)) * tz
+
+    # --- EWA 2D covariance (preprocess.glsl:118-128) ----------------------
+    v3 = view[:3, :3].astype(f32)
+    inv_tz = 1.0 / tz
+    # Rows of U = J @ View3: U0 = fx/tz * V[0,:] - fx*tx/tz^2 * V[2,:]
+    fx = jnp.asarray(focal_x, f32)
+    fy = jnp.asarray(focal_y, f32)
+    u0 = (fx * inv_tz)[:, None] * v3[0, :][None, :] - (
+        fx * tx * inv_tz * inv_tz
+    )[:, None] * v3[2, :][None, :]
+    u1 = (fy * inv_tz)[:, None] * v3[1, :][None, :] - (
+        fy * ty * inv_tz * inv_tz
+    )[:, None] * v3[2, :][None, :]
+    a2d = covariance_quadratic_form(cov6, u0, u0) + cfg.dilation
+    b2d = covariance_quadratic_form(cov6, u0, u1)
+    c2d = covariance_quadratic_form(cov6, u1, u1) + cfg.dilation
+
+    det = a2d * c2d - b2d * b2d
+    # Reference bails out on det == 0 (preprocess.glsl:131-134); we also fold
+    # non-finite math (splat at the camera plane) into the cull mask.
+    degenerate = (det == 0.0) | ~jnp.isfinite(det) | ~jnp.isfinite(sx) | ~jnp.isfinite(sy)
+    valid = ~culled & ~degenerate
+    safe_det = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c2d * inv_det, -b2d * inv_det, a2d * inv_det], axis=1)
+
+    # --- bounding radius via eigenvalues (preprocess.glsl:139-142) --------
+    mid = 0.5 * (a2d + c2d)
+    lam_max = mid + jnp.sqrt(jnp.maximum(cfg.eig_floor, mid * mid - det))
+    radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    # --- tile range (preprocess.glsl:143-153) -----------------------------
+    tile_w, tile_h = cfg.tile_size(width, height)
+    gx, gy = cfg.grid_x, cfg.grid_y
+    # GLSL int() truncates toward zero; the subsequent clamps make trunc vs
+    # floor indistinguishable for in-range splats.
+    tmin_x = jnp.clip(((sx - radius) / tile_w).astype(jnp.int32), 0, gx - 1)
+    tmax_x = jnp.clip(((sx + radius) / tile_w).astype(jnp.int32), 0, gx - 1)
+    tmin_y = jnp.clip(((sy - radius) / tile_h).astype(jnp.int32), 0, gy - 1)
+    tmax_y = jnp.clip(((sy + radius) / tile_h).astype(jnp.int32), 0, gy - 1)
+    ext_x = tmax_x - tmin_x + 1
+    ext_y = tmax_y - tmin_y + 1
+    counts = jnp.where(valid, ext_x * ext_y, 0).astype(jnp.int32)
+
+    mean2d = jnp.stack([sx, sy], axis=1)
+    return {
+        "mean2d": mean2d,            # (N, 2) pixel coords
+        "conic": conic,              # (N, 3) (A, B, C)
+        "opacity": opacities.astype(f32),
+        "depth": z01,                # (N,) ndc z mapped to [0, 1] in-frustum
+        "radius": radius,            # (N,)
+        "tile_min": jnp.stack([tmin_x, tmin_y], axis=1),  # (N, 2) int32
+        "tile_ext": jnp.stack([ext_x, ext_y], axis=1),    # (N, 2) int32
+        "counts": counts,            # (N,) tiles overlapped (0 if culled)
+        "valid": valid,              # (N,) bool
+        "culled": culled,            # (N,) bool (frustum cull only)
+    }

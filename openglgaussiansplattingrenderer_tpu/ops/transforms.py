@@ -1,0 +1,104 @@
+"""Differentiable splat-parameter transforms (jnp, fully vectorized).
+
+TPU-native equivalents of the reference's CPU-side per-splat loops:
+
+- activation transforms applied at PLY load (ref ``src/Splats.cpp:275-331``):
+  colour = (0.5 + SH_C0 * f_dc) * 255, opacity = sigmoid, scale = exp,
+  quaternion normalised
+- quaternion + scale -> 3D covariance, 6-float symmetric packing
+  (ref ``src/Splats.cpp:414-479``: M = S*R^T in glm storage, Sigma = M^T*M,
+  i.e. mathematically Sigma = R diag(s)^2 R^T)
+
+The packed covariance layout is the row-major upper triangle
+(xx, xy, xz, yy, yz, zz), matching the reference's
+``cov[0][0], cov[0][1], cov[0][2], cov[1][1], cov[1][2], cov[2][2]``
+(``src/Splats.cpp:430-435``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# From graphdeco-inria/diff-gaussian-rasterization, cited by the reference at
+# src/Splats.cpp:274-275.
+SH_C0 = 0.28209479177387814
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def inverse_sigmoid(y):
+    return jnp.log(y) - jnp.log1p(-y)
+
+
+def dc_to_color(f_dc, color_scale: float = 255.0):
+    """DC spherical-harmonic coefficient -> view-independent colour.
+
+    Ref ``src/Splats.cpp:295``: c = (0.5 + SH_C0 * f_dc) * 255.
+    """
+    return (0.5 + SH_C0 * f_dc) * color_scale
+
+
+def color_to_dc(c, color_scale: float = 255.0):
+    return (c / color_scale - 0.5) / SH_C0
+
+
+def normalize_quat(q, eps: float = 0.0):
+    """Normalise (N, 4) quaternions stored (w, x, y, z) (ref ``Splats.cpp:324-329``)."""
+    n = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + eps)
+    return q / n
+
+
+def quat_to_rotmat(q):
+    """(N, 4) wxyz quaternions -> (N, 3, 3) rotation matrices.
+
+    Matches the matrix built at ``src/Splats.cpp:454-458`` (interpreted in
+    math row/column convention; the glm storage there holds R^T, and the
+    subsequent Sigma = M^T M works out to R S^2 R^T -- see module docstring).
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1)
+    row1 = jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], axis=-1)
+    row2 = jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def build_covariance(scales, quats):
+    """(N, 3) scales + (N, 4) wxyz quats -> (N, 6) packed Sigma = R S^2 R^T.
+
+    Packed layout (xx, xy, xz, yy, yz, zz); ref ``src/Splats.cpp:440-479``.
+    """
+    rot = quat_to_rotmat(quats)                      # (N, 3, 3)
+    m = rot * scales[..., None, :]                   # R @ diag(s): scale columns
+    cov = jnp.einsum("...ik,...jk->...ij", m, m)     # (R S)(R S)^T = R S^2 R^T
+    return jnp.stack(
+        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+        axis=-1,
+    )
+
+
+def unpack_covariance(cov6):
+    """(N, 6) packed -> (N, 3, 3) symmetric matrices."""
+    a, b, c, d, e, f = (cov6[..., i] for i in range(6))
+    return jnp.stack(
+        [jnp.stack([a, b, c], axis=-1),
+         jnp.stack([b, d, e], axis=-1),
+         jnp.stack([c, e, f], axis=-1)],
+        axis=-2,
+    )
+
+
+def covariance_quadratic_form(cov6, u, v):
+    """u^T Sigma v for packed (..., 6) covariances and (..., 3) vectors.
+
+    Cheaper than materialising (N, 3, 3): 6 multiplies + cross terms.
+    """
+    a, b, c, d, e, f = (cov6[..., i] for i in range(6))
+    u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    return (a * u0 * v0 + d * u1 * v1 + f * u2 * v2
+            + b * (u0 * v1 + u1 * v0)
+            + c * (u0 * v2 + u2 * v0)
+            + e * (u1 * v2 + u2 * v1))

@@ -1,0 +1,151 @@
+"""End-to-end differentiable render pipeline.
+
+The TPU equivalent of ``Splats::gpuRender`` (``src/Splats.cpp:587-597``):
+
+    preprocess -> computeBins -> sort -> glFinish -> draw
+
+becomes a single jitted dataflow graph
+
+    preprocess -> expand_records -> lax.sort -> gather -> composite
+
+with no per-frame host sync (the reference maps an atomic counter back to the
+host every frame, ``Splats.cpp:579-583``) and no explicit barriers (XLA
+dataflow ordering replaces glMemoryBarrier/glFinish).
+
+Gradients: everything is jnp + gathers, so ``jax.grad`` of any image loss
+yields gradients to means / scales / quats / opacities / colors. Duplicated
+records' gradients are segment-summed per splat by the gather transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.ops import binning, compositing, projection
+from openglgaussiansplattingrenderer_tpu.ops.transforms import build_covariance
+
+
+def render_arrays(
+    params: Dict[str, jnp.ndarray],
+    view: jnp.ndarray,
+    vp: jnp.ndarray,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Render a splat parameter dict to an (H, W, 4) image plus stats.
+
+    ``params`` needs means (N,3), scales (N,3), quats (N,4), opacities (N,),
+    colors (N,3); a precomputed packed ``cov6`` (N,6) may be supplied instead
+    of scales/quats (matching the reference's load-time covariance precompute,
+    ``src/Splats.cpp:414-438``).
+    """
+    n = params["means"].shape[0]
+    cov6 = params.get("cov6")
+    if cov6 is None:
+        cov6 = build_covariance(params["scales"], params["quats"])
+
+    prep = projection.preprocess(
+        params["means"], cov6, params["opacities"], view, vp,
+        width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg,
+    )
+    capacity = cfg.capacity(n)
+    recs = binning.expand_records(
+        prep["counts"], prep["tile_min"], prep["tile_ext"], prep["depth"],
+        cfg, capacity,
+    )
+    sorted_sid, bounds = binning.sort_and_bin(recs, cfg)
+    gathered = compositing.gather_records(prep, params["colors"], sorted_sid)
+
+    use_pallas = cfg.use_pallas and _pallas_available()
+    if use_pallas:
+        from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pallas_composite
+
+        image, aux = pallas_composite.composite(gathered, bounds, width, height, cfg)
+    else:
+        image, aux = compositing.composite(gathered, bounds, width, height, cfg)
+
+    num_visible = jnp.sum(prep["valid"])
+    stats = {
+        "num_splats": jnp.int32(n),
+        "num_visible": num_visible,
+        "num_culled": jnp.sum(prep["culled"]),
+        "num_records": recs["total"],
+        "num_duplicates": recs["total"] - num_visible,
+        "overflow": recs["overflow"],
+        **binning.bin_stats(bounds),
+        **{k: v for k, v in aux.items() if k != "final_transmittance"},
+    }
+    return image, stats
+
+
+def _pallas_available() -> bool:
+    try:
+        from openglgaussiansplattingrenderer_tpu.ops.pallas import composite  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def _render_jit(params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+                width, height, cfg):
+    return render_arrays(params, view, vp, focal_x, focal_y, tan_fovx,
+                         tan_fovy, width, height, cfg)
+
+
+def render_stats(scene, camera, cfg: Optional[RenderConfig] = None,
+                 width: Optional[int] = None, height: Optional[int] = None):
+    """Render a scene from a Camera; returns (image, stats). Jit-cached."""
+    cfg = cfg or RenderConfig()
+    width = width or camera.width
+    height = height or camera.height
+    params = scene if isinstance(scene, dict) else scene.params()
+    view = jnp.asarray(camera.get_view_matrix())
+    vp = jnp.asarray(camera.get_vp_matrix())
+    # Argument order quirk kept from the reference app (main.cpp:62-64):
+    # tan_fov_x receives getTanFovy() and vice versa.
+    return _render_jit(
+        params, view, vp,
+        jnp.float32(camera.get_focal_x()), jnp.float32(camera.get_focal_y()),
+        jnp.float32(camera.get_tan_fovy()), jnp.float32(camera.get_tan_fovx()),
+        width, height, cfg,
+    )
+
+
+def render(scene, camera, cfg: Optional[RenderConfig] = None,
+           width: Optional[int] = None, height: Optional[int] = None):
+    """Render a scene from a Camera; returns the (H, W, 4) image."""
+    image, _ = render_stats(scene, camera, cfg, width, height)
+    return image
+
+
+def render_loss(params, target, view, vp, focal_x, focal_y, tan_fovx,
+                tan_fovy, width: int, height: int, cfg: RenderConfig):
+    """L2 image loss -- convenience for gradient tests and fitting."""
+    image, _ = render_arrays(params, view, vp, focal_x, focal_y, tan_fovx,
+                             tan_fovy, width, height, cfg)
+    return jnp.mean((image[..., :3] - target) ** 2)
+
+
+def camera_args(camera) -> Dict[str, np.ndarray]:
+    """Camera -> the argument bundle gpuRender receives (main.cpp:62-64)."""
+    return {
+        "view": np.asarray(camera.get_view_matrix()),
+        "vp": np.asarray(camera.get_vp_matrix()),
+        "focal_x": np.float32(camera.get_focal_x()),
+        "focal_y": np.float32(camera.get_focal_y()),
+        "tan_fovx": np.float32(camera.get_tan_fovy()),  # reference arg swap
+        "tan_fovy": np.float32(camera.get_tan_fovx()),
+    }

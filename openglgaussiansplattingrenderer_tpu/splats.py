@@ -1,0 +1,141 @@
+"""Scene container and the reference-shaped facade.
+
+``SplatScene`` is the functional parameter container (a pytree). ``Splats``
+mirrors the reference's ``Splats`` class API (``include/Splats.h:29-124``):
+construct from a PLY path + resolution, then ``gpu_render`` (TPU pipeline),
+``cpu_render`` (golden numpy pipeline + PNG dump, like ``Splats::cpuRender``)
+and ``display``/``save_image``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.io import png as png_io
+from openglgaussiansplattingrenderer_tpu.ops.transforms import build_covariance
+
+
+@dataclasses.dataclass
+class SplatScene:
+    """Activated splat parameters (see ``io/ply.py`` for load activations)."""
+
+    means: np.ndarray       # (N, 3)
+    scales: np.ndarray      # (N, 3), post-exp
+    quats: np.ndarray       # (N, 4) wxyz, normalised
+    opacities: np.ndarray   # (N,), post-sigmoid
+    colors: np.ndarray      # (N, 3), 0..color_scale
+    sh_rest: Optional[np.ndarray] = None  # (N, 45) kept for future use
+
+    @classmethod
+    def from_ply(cls, path: str, color_scale: float = 255.0) -> "SplatScene":
+        d = ply_io.load_splats(path, color_scale)
+        return cls(d["means"], d["scales"], d["quats"], d["opacities"],
+                   d["colors"], d.get("sh_rest"))
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, np.ndarray]) -> "SplatScene":
+        return cls(d["means"], d["scales"], d["quats"], d["opacities"],
+                   d["colors"], d.get("sh_rest"))
+
+    def __len__(self) -> int:
+        return self.means.shape[0]
+
+    def params(self) -> Dict[str, jnp.ndarray]:
+        """Differentiable parameter dict for the render pipeline."""
+        return {
+            "means": jnp.asarray(self.means),
+            "scales": jnp.asarray(self.scales),
+            "quats": jnp.asarray(self.quats),
+            "opacities": jnp.asarray(self.opacities),
+            "colors": jnp.asarray(self.colors),
+        }
+
+    def covariances(self) -> jnp.ndarray:
+        """Packed (N, 6) 3D covariances (ref ``Splats::computeCovarianceMatrices``)."""
+        return build_covariance(jnp.asarray(self.scales), jnp.asarray(self.quats))
+
+    def save_ply(self, path: str, color_scale: float = 255.0) -> None:
+        ply_io.save_ply(path, self.means, self.quats, self.scales,
+                        self.opacities, self.colors, self.sh_rest,
+                        color_scale=color_scale)
+
+
+class Splats:
+    """Reference-API facade (``include/Splats.h``): path + resolution in,
+    rendered frames out."""
+
+    def __init__(self, file_path: str, width: int, height: int,
+                 cfg: Optional[RenderConfig] = None):
+        self.cfg = cfg or RenderConfig()
+        self.scene = SplatScene.from_ply(file_path, self.cfg.color_scale)
+        self.width = int(width)
+        self.height = int(height)
+        self.num_splats = len(self.scene)
+        # Load-time covariance precompute, as the reference does on the CPU
+        # once at construction (src/Splats.cpp:22, 414-438).
+        self.cov6 = np.asarray(self.scene.covariances())
+        self.last_image: Optional[np.ndarray] = None
+        self.last_stats: Optional[Dict[str, np.ndarray]] = None
+
+    def _params(self) -> Dict[str, jnp.ndarray]:
+        p = self.scene.params()
+        p["cov6"] = jnp.asarray(self.cov6)
+        return p
+
+    def gpu_render(self, view_matrix, width, height, focal_x, focal_y,
+                   tan_fov_x, tan_fov_y, vp_matrix) -> np.ndarray:
+        """TPU render with the reference ``gpuRender`` signature
+        (``src/Splats.cpp:587-597``)."""
+        from openglgaussiansplattingrenderer_tpu.render import _render_jit
+
+        image, stats = _render_jit(
+            self._params(), jnp.asarray(view_matrix), jnp.asarray(vp_matrix),
+            jnp.float32(focal_x), jnp.float32(focal_y),
+            jnp.float32(tan_fov_x), jnp.float32(tan_fov_y),
+            int(width), int(height), self.cfg,
+        )
+        self.last_image = np.asarray(image)
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        return self.last_image
+
+    def render_camera(self, camera) -> np.ndarray:
+        from openglgaussiansplattingrenderer_tpu.render import render_stats
+
+        image, stats = render_stats(self.scene, camera, self.cfg)
+        self.last_image = np.asarray(image)
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        return self.last_image
+
+    def cpu_render(self, view_matrix, width, height, focal_x, focal_y,
+                   tan_fov_x, tan_fov_y, vp_matrix,
+                   save_path: Optional[str] = "cpuRender.png") -> np.ndarray:
+        """Golden numpy render + PNG dump (ref ``Splats::cpuRender``,
+        ``src/Splats.cpp:599-1188``). Does not throw afterwards, unlike the
+        reference (:1138)."""
+        from openglgaussiansplattingrenderer_tpu import golden
+
+        image, _ = golden.golden_render(
+            {
+                "means": self.scene.means, "cov6": self.cov6,
+                "opacities": self.scene.opacities, "colors": self.scene.colors,
+            },
+            np.asarray(view_matrix), np.asarray(vp_matrix),
+            float(focal_x), float(focal_y), float(tan_fov_x), float(tan_fov_y),
+            int(width), int(height), self.cfg,
+        )
+        if save_path:
+            png_io.save_png(save_path, image)
+        return image
+
+    def display(self, path: str = "render.png") -> None:
+        """Headless display path: dump the last rendered frame to PNG
+        (the reference's textured-quad present, ``Splats::display``)."""
+        if self.last_image is None:
+            raise RuntimeError("nothing rendered yet")
+        png_io.save_png(path, self.last_image)
