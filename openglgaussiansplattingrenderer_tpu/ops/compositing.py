@@ -96,15 +96,35 @@ def composite(
     cfg: RenderConfig,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Composite sorted records into an (H, W, 4) float image in [0, 1]."""
+    pxs, pys = tile_pixel_coords(width, height, cfg)     # (T, P)
+    rgb, trans = composite_ranges(
+        records, tile_bounds[:-1], tile_bounds[1:], pxs, pys, cfg)
+    image = assemble_image(rgb, trans, width, height, cfg)
+    per_tile = tile_bounds[1:] - tile_bounds[:-1]
+    nchunks = -(-cfg.max_per_tile // cfg.chunk)
+    aux = {
+        "dropped_by_cap": jnp.sum(jnp.maximum(per_tile - nchunks * cfg.chunk, 0)),
+        "final_transmittance": trans,
+    }
+    return image, aux
+
+
+def composite_ranges(
+    records: Dict[str, jnp.ndarray],
+    starts: jnp.ndarray,               # (T_local,) record range starts
+    ends: jnp.ndarray,                 # (T_local,)
+    pxs: jnp.ndarray,                  # (T_local, P) pixel x coords
+    pys: jnp.ndarray,                  # (T_local, P)
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Core compositor over an arbitrary set of tiles (e.g. one shard's
+    stripe under ``shard_map``). Returns ((T_local, P, 3) rgb premultiplied
+    in colour-scale units, (T_local, P) transmittance)."""
     capacity = records["mean2d"].shape[0]
-    num_tiles = cfg.num_tiles
+    num_tiles = pxs.shape[0]
     chunk = cfg.chunk
     nchunks = -(-cfg.max_per_tile // chunk)
-    pxs, pys = tile_pixel_coords(width, height, cfg)     # (T, P)
     p = pxs.shape[1]
-
-    starts = tile_bounds[:-1]                            # (T,)
-    ends = tile_bounds[1:]
     lane = jnp.arange(chunk, dtype=jnp.int32)
 
     mean2d = records["mean2d"]
@@ -140,23 +160,20 @@ def composite(
         s_excl = trans[:, None, :] * jnp.exp(cum - lg)   # transmittance before k
         include = s_excl > thresh                        # 0.99-saturation mask
         wgt = alpha * s_excl * jnp.where(include, 1.0, 0.0)
-        rgb = rgb + jnp.einsum("tkp,tkc->tpc", wgt, col)
+        rgb = rgb + jnp.einsum("tkp,tkc->tpc", wgt, col, precision="highest")
         trans = trans * jnp.exp(jnp.sum(jnp.where(include, lg, 0.0), axis=1))
         return (rgb, trans), None
 
-    rgb0 = jnp.zeros((num_tiles, p, 3), jnp.float32)
-    trans0 = jnp.ones((num_tiles, p), jnp.float32)
+    # Derive the scan init from `starts` so it inherits any shard_map
+    # device-varying axis (vma) -- a plain zeros/ones init is "unvarying" and
+    # the scan carry type check rejects it under shard_map.
+    zero_like_tiles = 0.0 * starts.astype(jnp.float32)
+    rgb0 = jnp.zeros((num_tiles, p, 3), jnp.float32) + zero_like_tiles[:, None, None]
+    trans0 = jnp.ones((num_tiles, p), jnp.float32) + zero_like_tiles[:, None]
     (rgb, trans), _ = jax.lax.scan(
         body, (rgb0, trans0), jnp.arange(nchunks, dtype=jnp.int32)
     )
-
-    image = assemble_image(rgb, trans, width, height, cfg)
-    per_tile = ends - starts
-    aux = {
-        "dropped_by_cap": jnp.sum(jnp.maximum(per_tile - nchunks * chunk, 0)),
-        "final_transmittance": trans,
-    }
-    return image, aux
+    return rgb, trans
 
 
 def assemble_image(rgb_tiled: jnp.ndarray, trans_tiled: jnp.ndarray,

@@ -55,7 +55,10 @@ def preprocess(
     means4 = jnp.concatenate([means, jnp.ones((n, 1), f32)], axis=1)
 
     # --- projection of the mean (preprocess.glsl:77-94) -------------------
-    p = means4 @ vp.T.astype(f32)                        # (N, 4) clip space
+    # precision="highest": TPU f32 matmul defaults to bfloat16 multiplies,
+    # which drifts projected centres by ~0.5px on metre-scale scenes. These
+    # Nx4 @ 4x4 products are tiny; full f32 costs nothing.
+    p = jnp.matmul(means4, vp.T.astype(f32), precision="highest")
     w = jnp.maximum(p[:, 3], cfg.w_eps)
     ndc = p / w[:, None]
     culled = (jnp.abs(ndc[:, 0]) > 1.0) | (jnp.abs(ndc[:, 1]) > 1.0)
@@ -64,7 +67,7 @@ def preprocess(
     z01 = (ndc[:, 2] + 1.0) * 0.5
 
     # --- view-space position with fov clamp (preprocess.glsl:110-116) -----
-    t = means4 @ view.T.astype(f32)                      # (N, 4)
+    t = jnp.matmul(means4, view.T.astype(f32), precision="highest")
     tz = t[:, 2]
     # Reference quirk kept verbatim: limx = -margin * tanFov and the clamp is
     # written min(limx, max(-limx, x)). With the reference Camera's

@@ -71,7 +71,8 @@ def build_covariance(scales, quats):
     """
     rot = quat_to_rotmat(quats)                      # (N, 3, 3)
     m = rot * scales[..., None, :]                   # R @ diag(s): scale columns
-    cov = jnp.einsum("...ik,...jk->...ij", m, m)     # (R S)(R S)^T = R S^2 R^T
+    cov = jnp.einsum("...ik,...jk->...ij", m, m,
+                     precision="highest")        # (R S)(R S)^T = R S^2 R^T
     return jnp.stack(
         [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
          cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],

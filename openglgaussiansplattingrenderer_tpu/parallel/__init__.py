@@ -1,0 +1,6 @@
+from openglgaussiansplattingrenderer_tpu.parallel.sharded import (  # noqa: F401
+    make_mesh,
+    pad_scene_for_mesh,
+    render_sharded,
+    sharded_train_step,
+)

@@ -1,0 +1,103 @@
+"""Pallas fused compositor vs the jnp compositor (interpret mode on CPU).
+
+Forward images and full parameter gradients must match; the jnp path's
+autodiff is the gradient oracle for the Pallas kernels' analytic backward.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.render import camera_args, render_arrays
+
+BASE = RenderConfig(max_per_tile=1024, chunk=64, dup_capacity_factor=24.0)
+
+
+def _run(scene, cam, cfg, width, height, grad=False, target=None):
+    args = camera_args(cam)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+
+    def fwd(p):
+        img, stats = render_arrays(
+            p, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+            args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"],
+            width, height, cfg,
+        )
+        return img, stats
+
+    if not grad:
+        img, stats = fwd(params)
+        return np.asarray(img), stats
+
+    def loss(p):
+        img, _ = fwd(p)
+        return jnp.mean((img[..., :3] - target) ** 2) + 0.1 * jnp.mean(img[..., 3])
+
+    val, grads = jax.value_and_grad(loss)(params)
+    return float(val), {k: np.asarray(v) for k, v in grads.items()}
+
+
+@pytest.mark.parametrize("seed,n,w,h", [(3, 150, 128, 128), (9, 400, 128, 64)])
+def test_pallas_forward_matches_jnp(seed, n, w, h):
+    scene = ply_io.make_synthetic_scene(n, seed=seed, extent=2.0)
+    cam = Camera(0.0, 0.0, -6.0, width=w, height=h)
+    cfg_j = dataclasses.replace(BASE, use_pallas=False)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+    img_j, stats_j = _run(scene, cam, cfg_j, w, h)
+    img_p, stats_p = _run(scene, cam, cfg_p, w, h)
+    assert int(stats_j["overflow"]) == 0 and int(stats_j["dropped_by_cap"]) == 0
+    np.testing.assert_allclose(img_p, img_j, atol=2e-5)
+
+
+def test_pallas_forward_single_splat():
+    scene = ply_io.single_splat_scene()
+    cam = Camera(0.0, 0.0, -3.0, width=256, height=256)
+    cfg_j = RenderConfig(use_pallas=False, max_per_tile=256, chunk=64,
+                         dup_capacity_factor=256.0)
+    cfg_p = dataclasses.replace(cfg_j, use_pallas=True)
+    img_j, _ = _run(scene, cam, cfg_j, 256, 256)
+    img_p, _ = _run(scene, cam, cfg_p, 256, 256)
+    assert img_p[..., 3].max() > 0.5
+    np.testing.assert_allclose(img_p, img_j, atol=2e-5)
+
+
+def test_pallas_backward_matches_jnp_autodiff():
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(60, seed=21, extent=1.5)
+    scene["opacities"] = np.clip(scene["opacities"], 0.2, 0.8)
+    cam = Camera(0.0, 0.0, -5.0, width=w, height=h)
+    target = jnp.full((h, w, 3), 0.2)
+    cfg_j = dataclasses.replace(BASE, use_pallas=False)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+    loss_j, g_j = _run(scene, cam, cfg_j, w, h, grad=True, target=target)
+    loss_p, g_p = _run(scene, cam, cfg_p, w, h, grad=True, target=target)
+    assert np.isclose(loss_p, loss_j, rtol=1e-5)
+    for k in g_j:
+        np.testing.assert_allclose(
+            g_p[k], g_j[k], rtol=2e-3, atol=1e-6,
+            err_msg=f"gradient mismatch for {k}")
+
+
+def test_pallas_backward_saturated_scene():
+    """Heavy overdraw: the early-exit path and saturation masks in backward."""
+    w = h = 32
+    scene = ply_io.make_synthetic_scene(120, seed=4, extent=0.4)
+    scene["opacities"] = np.full(120, 0.95, np.float32)  # saturate fast
+    scene["scales"] = np.full((120, 3), 0.15, np.float32)
+    cam = Camera(0.0, 0.0, -2.0, width=w, height=h)
+    target = jnp.zeros((h, w, 3))
+    cfg_j = dataclasses.replace(BASE, use_pallas=False, max_per_tile=2048)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+    loss_j, g_j = _run(scene, cam, cfg_j, w, h, grad=True, target=target)
+    loss_p, g_p = _run(scene, cam, cfg_p, w, h, grad=True, target=target)
+    assert np.isclose(loss_p, loss_j, rtol=1e-4)
+    for k in g_j:
+        np.testing.assert_allclose(
+            g_p[k], g_j[k], rtol=5e-3, atol=2e-6,
+            err_msg=f"gradient mismatch for {k}")
