@@ -1,0 +1,124 @@
+"""Headline benchmark: 1M-splat synthetic scene at 1080p, forward+backward.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Details go to stderr.
+
+Metric: million splat-renders per second through the FULL differentiable
+pipeline (preprocess -> duplicate/bin -> sort -> Pallas composite forward +
+analytic backward + parameter gradients) = num_splats * fps(fwd+bwd).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the proxy
+baseline is its flagship scene rendered interactively -- bike-big.ply
+(3,616,103 splats, tests/plyParseTests.cpp:69) at 30 fps forward-only
+= 108.5 Msplat/s. vs_baseline = value / 108.5, i.e. 1.0 means this chip
+pushes the reference's flagship scene at 30 fps *including* the backward
+pass the reference doesn't have.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+NUM_SPLATS = 1_000_000
+WIDTH, HEIGHT = 1920, 1080
+BASELINE_MSPLAT_S = 3.616103 * 30.0  # bike-big @ 30fps fwd-only proxy
+ITERS = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.render import camera_args, render_arrays
+
+    cfg = RenderConfig.for_resolution(
+        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=256,
+        dup_capacity_factor=8.0)
+    log(f"grid {cfg.grid_x}x{cfg.grid_y} ({cfg.num_tiles} tiles), "
+        f"capacity {cfg.capacity(NUM_SPLATS)}")
+
+    # splat size tuned so the scene composites like a real capture
+    # (~2-4 tiles/splat at 1080p), cf. bike-big.ply scale statistics
+    scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
+                                        log_scale_range=(-5.5, -3.2))
+    cam = Camera(0.0, 0.0, -8.0, width=WIDTH, height=HEIGHT)
+    args = camera_args(cam)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    view = jnp.asarray(args["view"])
+    vp = jnp.asarray(args["vp"])
+    cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"])
+
+    @jax.jit
+    def fwd(p):
+        img, stats = render_arrays(p, view, vp, *cam_f, WIDTH, HEIGHT, cfg)
+        return img, stats
+
+    @jax.jit
+    def fwdbwd(p):
+        def loss(p):
+            img, _ = render_arrays(p, view, vp, *cam_f, WIDTH, HEIGHT, cfg)
+            return jnp.mean(img[..., :3] ** 2)
+
+        return jax.value_and_grad(loss)(p)
+
+    # NOTE: on this backend block_until_ready can return before queued work
+    # executes; a host fetch of an output scalar is the reliable fence.
+    def fence(x):
+        return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+    t0 = time.time()
+    img, stats = fwd(params)
+    fence(img)
+    log(f"fwd compile+run {time.time() - t0:.1f}s; stats: "
+        f"{ {k: np.asarray(v).tolist() for k, v in stats.items()} }")
+    overflow = int(stats["overflow"])
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        img, _ = fwd(params)
+    fence(img)
+    fwd_ms = (time.time() - t0) / ITERS * 1000
+
+    t0 = time.time()
+    loss, grads = fwdbwd(params)
+    fence(grads)
+    log(f"fwd+bwd compile+run {time.time() - t0:.1f}s; loss {float(loss):.6f}")
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        loss, grads = fwdbwd(params)
+    fence(grads)
+    fb_ms = (time.time() - t0) / ITERS * 1000
+
+    finite = all(bool(jnp.all(jnp.isfinite(v))) for v in grads.values())
+    log(f"fwd {fwd_ms:.1f} ms/frame ({1000 / fwd_ms:.2f} fps), "
+        f"fwd+bwd {fb_ms:.1f} ms/frame ({1000 / fb_ms:.2f} fps), "
+        f"grads finite: {finite}, overflow: {overflow}")
+
+    msplat_s = NUM_SPLATS / 1e6 * (1000.0 / fb_ms)
+    print(json.dumps({
+        "metric": "msplats_fwdbwd_1080p",
+        "value": round(msplat_s, 3),
+        "unit": "Msplat/s",
+        "vs_baseline": round(msplat_s / BASELINE_MSPLAT_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,21 @@ class RenderConfig:
             return float(width // self.grid_x), float(height // self.grid_y)
         return width / self.grid_x, height / self.grid_y
 
+    @classmethod
+    def for_resolution(cls, width: int, height: int, tile_px: int = 32,
+                       **overrides) -> "RenderConfig":
+        """Config with a tile grid sized for the resolution.
+
+        The reference hard-codes 16x16 tiles for its 1024x512 target (64x32px
+        tiles); at 1080p/4K that makes tiles too large for VMEM blocking, so
+        production configs pick the grid from a target tile pixel size
+        (default 32x32px -> P=1024 pixels per tile, 8x128 vector-register
+        perfect). The image is padded up to the grid (cropped after).
+        """
+        gx = max(1, -(-width // tile_px))
+        gy = max(1, -(-height // tile_px))
+        return cls(grid_x=gx, grid_y=gy, **overrides)
+
     def capacity(self, num_splats: int) -> int:
         """Static record capacity for a scene with ``num_splats`` splats."""
         cap = int(self.dup_capacity_factor * num_splats)

@@ -247,7 +247,8 @@ def red_splat_scene() -> Dict[str, np.ndarray]:
 
 
 def make_synthetic_scene(num_splats: int, seed: int = 0,
-                         extent: float = 3.0, color_scale: float = 255.0
+                         extent: float = 3.0, color_scale: float = 255.0,
+                         log_scale_range: Tuple[float, float] = (-4.5, -2.0)
                          ) -> Dict[str, np.ndarray]:
     """Random synthetic scene generator for tests and benchmarks.
 
@@ -257,7 +258,8 @@ def make_synthetic_scene(num_splats: int, seed: int = 0,
     means = rng.uniform(-extent, extent, size=(num_splats, 3)).astype(np.float32)
     quats = rng.normal(size=(num_splats, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    scales = np.exp(rng.uniform(-4.5, -2.0, size=(num_splats, 3))).astype(np.float32)
+    lo, hi = log_scale_range
+    scales = np.exp(rng.uniform(lo, hi, size=(num_splats, 3))).astype(np.float32)
     opacities = (1.0 / (1.0 + np.exp(-rng.normal(0.0, 1.5, size=num_splats)))).astype(np.float32)
     f_dc = rng.uniform(-1.0, 1.0, size=(num_splats, 3)).astype(np.float32)
     colors = ((0.5 + SH_C0 * f_dc) * color_scale).astype(np.float32)

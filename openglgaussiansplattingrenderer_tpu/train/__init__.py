@@ -1,0 +1,7 @@
+from openglgaussiansplattingrenderer_tpu.train.trainer import (  # noqa: F401
+    TrainConfig,
+    TrainState,
+    fit_scene,
+    make_train_step,
+)
+from openglgaussiansplattingrenderer_tpu.train import losses  # noqa: F401

@@ -1,0 +1,165 @@
+"""Splat-fitting trainer (optax) -- the differentiable capability the
+reference lacks (BASELINE.json north star: gradients to position / scale /
+rotation / opacity / colour).
+
+Parameters are optimised in *raw* (pre-activation) space like standard 3DGS
+training: log-scales, logit-opacity, unnormalised quaternions, raw colours --
+so the optimiser is unconstrained and activations stay in range. Checkpoints
+are plain npz pytrees (SURVEY.md section 5, checkpoint row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.render import render_arrays
+from openglgaussiansplattingrenderer_tpu.train import losses
+from openglgaussiansplattingrenderer_tpu.ops.transforms import (
+    inverse_sigmoid,
+    sigmoid,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr_means: float = 1.6e-4
+    lr_scales: float = 5e-3
+    lr_quats: float = 1e-3
+    lr_opacities: float = 5e-2
+    lr_colors: float = 2.5e-1      # colours live in 0..255 space
+    lambda_dssim: float = 0.2
+    steps: int = 200
+
+
+def raw_from_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Activated parameters -> unconstrained optimisation space."""
+    return {
+        "means": jnp.asarray(params["means"]),
+        "log_scales": jnp.log(jnp.maximum(jnp.asarray(params["scales"]), 1e-30)),
+        "quats": jnp.asarray(params["quats"]),
+        "logit_opacities": inverse_sigmoid(
+            jnp.clip(jnp.asarray(params["opacities"]), 1e-6, 1.0 - 1e-6)),
+        "colors": jnp.asarray(params["colors"]),
+    }
+
+
+def params_from_raw(raw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Unconstrained space -> activated render parameters (differentiable)."""
+    quats = raw["quats"]
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    return {
+        "means": raw["means"],
+        "scales": jnp.exp(raw["log_scales"]),
+        "quats": quats,
+        "opacities": sigmoid(raw["logit_opacities"]),
+        "colors": raw["colors"],
+    }
+
+
+@dataclasses.dataclass
+class TrainState:
+    raw: Dict[str, jnp.ndarray]
+    opt_state: optax.OptState
+    step: int = 0
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    return optax.multi_transform(
+        {
+            "means": optax.adam(tc.lr_means),
+            "log_scales": optax.adam(tc.lr_scales),
+            "quats": optax.adam(tc.lr_quats),
+            "logit_opacities": optax.adam(tc.lr_opacities),
+            "colors": optax.adam(tc.lr_colors),
+        },
+        {k: k for k in ["means", "log_scales", "quats", "logit_opacities",
+                        "colors"]},
+    )
+
+
+def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
+                    height: int,
+                    loss_fn: Optional[Callable] = None) -> Callable:
+    """Jitted (state, target, camera args) -> (state, metrics) step."""
+    optimizer = make_optimizer(tc)
+
+    def loss_of(raw, target, view, vp, fx, fy, tfx, tfy):
+        params = params_from_raw(raw)
+        img, _ = render_arrays(params, view, vp, fx, fy, tfx, tfy,
+                               width, height, cfg)
+        pred = img[..., :3]
+        if loss_fn is not None:
+            return loss_fn(pred, target), pred
+        return losses.gs_loss(pred, target, tc.lambda_dssim), pred
+
+    @jax.jit
+    def step(raw, opt_state, target, view, vp, fx, fy, tfx, tfy):
+        (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            raw, target, view, vp, fx, fy, tfx, tfy)
+        updates, opt_state = optimizer.update(grads, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return raw, opt_state, loss, losses.psnr(pred, target)
+
+    def run(state: TrainState, target, view, vp, fx, fy, tfx, tfy
+            ) -> Tuple[TrainState, Dict[str, float]]:
+        raw, opt_state, loss, p = step(
+            state.raw, state.opt_state, target, view, vp, fx, fy, tfx, tfy)
+        return (TrainState(raw, opt_state, state.step + 1),
+                {"loss": loss, "psnr": p})
+
+    run.init = lambda raw: TrainState(raw, optimizer.init(raw), 0)
+    return run
+
+
+def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
+              cfg: RenderConfig, tc: Optional[TrainConfig] = None,
+              width: Optional[int] = None, height: Optional[int] = None,
+              log_every: int = 50, verbose: bool = True):
+    """Fit splat parameters to (target image, camera) pairs.
+
+    targets: list of (H, W, 3) arrays; cameras: list of Camera. Returns
+    (activated params, history).
+    """
+    from openglgaussiansplattingrenderer_tpu.render import camera_args
+
+    tc = tc or TrainConfig()
+    width = width or cameras[0].width
+    height = height or cameras[0].height
+    step = make_train_step(cfg, tc, width, height)
+    state = step.init(raw_from_params(params))
+    cam_bundles = []
+    for cam in cameras:
+        a = camera_args(cam)
+        cam_bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
+                            a["focal_x"], a["focal_y"], a["tan_fovx"],
+                            a["tan_fovy"]))
+    targets = [jnp.asarray(t, jnp.float32) for t in targets]
+
+    history = []
+    for i in range(tc.steps):
+        j = i % len(targets)
+        state, metrics = step(state, targets[j], *cam_bundles[j])
+        if (i % log_every == 0 or i == tc.steps - 1):
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append({"step": i, **m})
+            if verbose:
+                print(f"step {i}: loss {m['loss']:.5f} psnr {m['psnr']:.2f}")
+    return params_from_raw(state.raw), history
+
+
+def save_checkpoint(path: str, raw: Dict[str, jnp.ndarray], step: int = 0) -> None:
+    np.savez(path, step=step, **{k: np.asarray(v) for k, v in raw.items()})
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], int]:
+    z = np.load(path)
+    raw = {k: z[k] for k in z.files if k != "step"}
+    return raw, int(z["step"])
