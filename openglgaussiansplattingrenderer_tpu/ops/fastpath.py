@@ -1,0 +1,195 @@
+"""Production render pipeline: payload sorts + Pallas record kernels + fused
+composite.
+
+Replaces the XLA gather/searchsorted-based path (kept in ``render.py`` /
+``ops/binning.py`` as the oracle) for real frame rates -- see
+``ops/pallas/records.py`` for the measured motivation. Stage map:
+
+  preprocess (jnp elementwise)
+    -> sort splats by depth, fields as payloads        [lax.sort, N]
+    -> cumsum duplicate counts                          [jnp, N]
+    -> expand duplicates (Pallas, MXU one-hot gather)   [C]
+    -> stable sort by tile, fields as payloads          [lax.sort, C]
+    -> chunk-align per-tile ranges (Pallas gather)      [C_al]
+    -> fused composite fwd/bwd (Pallas)                 [tiles]
+
+Everything is differentiable: the sorts re-sort cotangents, the Pallas ops
+carry custom VJPs (segment-sum / reverse gather), preprocess is plain jnp.
+
+Overflow policy: when the scene needs more than ``capacity`` records, the
+tail is dropped in *depth order* (farthest splats lose duplicates first),
+unlike the oracle path which drops in array order; both report
+``stats["overflow"]``. Under zero overflow the two paths agree exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.ops import projection
+from openglgaussiansplattingrenderer_tpu.ops.compositing import assemble_image, padded_dims
+from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
+from openglgaussiansplattingrenderer_tpu.ops.pallas import records as rk
+from openglgaussiansplattingrenderer_tpu.ops.transforms import build_covariance
+
+
+def _floor128(x):
+    return (x // 128) * 128
+
+
+def render_fast(
+    params: Dict[str, jnp.ndarray],
+    view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+    width: int, height: int, cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fast differentiable render. Returns ((H, W, 4) image, stats)."""
+    n = params["means"].shape[0]
+    cov6 = params.get("cov6")
+    if cov6 is None:
+        cov6 = build_covariance(params["scales"], params["quats"])
+    prep = projection.preprocess(
+        params["means"], cov6, params["opacities"], view, vp,
+        width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg)
+
+    capacity = rk.round_up(cfg.capacity(n), rk.OB)
+    t = cfg.num_tiles
+    if cfg.chunk % 128 and not rk._interpret():
+        raise ValueError(f"fast path needs chunk % 128 == 0, got {cfg.chunk}")
+    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB)
+    if c_al >= (1 << 24):
+        raise ValueError("record capacity exceeds exact-f32 index range")
+
+    # ---- 1. sort splats by depth (culled to the end) ---------------------
+    key = jnp.where(prep["valid"], prep["depth"], jnp.float32(jnp.inf))
+    fields = (
+        prep["mean2d"][:, 0], prep["mean2d"][:, 1],
+        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
+        prep["opacity"], params["colors"][:, 0], params["colors"][:, 1],
+        params["colors"][:, 2],
+        prep["tile_min"][:, 0].astype(jnp.float32),
+        prep["tile_min"][:, 1].astype(jnp.float32),
+        prep["tile_ext"][:, 0].astype(jnp.float32),
+        prep["counts"].astype(jnp.float32),
+    )
+    _, _, sf = rk.sort_with_payload(key, fields)
+    counts_s = sf[12].astype(jnp.int32)
+
+    # ---- 2. duplicate-count prefix sum -----------------------------------
+    cum_incl_i = jnp.cumsum(counts_s)
+    cum_excl_i = cum_incl_i - counts_s
+    total_all = cum_incl_i[-1]
+    total = jnp.minimum(total_all, capacity).astype(jnp.int32)
+
+    # ---- 3. expand to splat-major records (Pallas) -----------------------
+    n_pad = rk.round_up(n + rk.IB, 128)
+    n_seg = rk.round_up(n, rk.SB)
+    cum_excl = cum_excl_i.astype(jnp.float32)
+    cum_incl = cum_incl_i.astype(jnp.float32)
+
+    def pad_row(x, length):
+        out = jnp.zeros(length, x.dtype)
+        return out.at[0:x.shape[0]].set(x)
+
+    zeros_row = jnp.zeros(n_pad, jnp.float32)
+    table = jnp.stack([pad_row(r, n_pad) for r in
+                       (sf[0], sf[1], sf[2], sf[3], sf[4], sf[5], sf[6],
+                        sf[7], sf[8], sf[9], sf[10], sf[11], cum_excl,
+                        cum_incl)] + [zeros_row, zeros_row], axis=0)
+    cum2_lanes = jnp.stack(
+        [pad_row(cum_excl, n_pad), pad_row(cum_incl, n_pad)]
+        + [zeros_row] * 6, axis=0)
+
+    r0s = jnp.arange(capacity // rk.OB, dtype=jnp.int32) * rk.OB
+    s0_arr = _floor128(jnp.searchsorted(cum_incl_i, r0s, side="right")
+                       .astype(jnp.int32))
+    meta = total[None]
+
+    n0s = jnp.arange(n_seg // rk.SB, dtype=jnp.int32) * rk.SB
+    a0_raw = cum_excl_i[jnp.minimum(n0s, n - 1)]
+    a0_arr = _floor128(jnp.minimum(a0_raw, total))
+    seg_end = jnp.minimum(cum_incl_i[jnp.minimum(n0s + rk.SB - 1, n - 1)], total)
+    nch_arr = jnp.maximum(-(-(seg_end - a0_arr) // rk.ICH), 0).astype(jnp.int32)
+
+    expand = rk.make_expand_op(capacity=capacity, gx=cfg.grid_x,
+                               num_tiles=t, n_seg_pad=n_seg)
+    rec_sm = expand(table, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
+
+    # ---- 4. stable sort records by tile: (tile, depth) order -------------
+    tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
+    rec_fields = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS))
+    sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+
+    bounds = jnp.searchsorted(
+        sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)
+
+    # ---- 5. chunk-align per-tile ranges (Pallas) -------------------------
+    counts_t = bounds[1:] - bounds[:-1]
+    aligned = -(-counts_t // cfg.chunk) * cfg.chunk
+    ab = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(aligned)]).astype(jnp.int32)
+
+    c_sorted_pad = rk.round_up(capacity + 2 * rk.ICH, 128)
+    rec_sorted = jnp.zeros((16, c_sorted_pad), jnp.float32)
+    rec_sorted = rec_sorted.at[0:rk.NUM_FIELDS, 0:capacity].set(jnp.stack(sf2))
+
+    t_pad = rk.round_up(t, 8)
+
+    def table2d(x):
+        return pad_row(x.astype(jnp.float32), t_pad)[:, None]
+
+    bounds2d, ab2d = table2d(bounds[:-1]), table2d(ab[:-1])
+    cnt2d = table2d(counts_t)
+
+    # forward: per aligned-block source start + chunk count
+    ra = jnp.arange(c_al // rk.OB, dtype=jnp.int32) * rk.OB
+    t_of_a = jnp.clip(jnp.searchsorted(ab, ra, side="right").astype(jnp.int32) - 1,
+                      0, t - 1)
+    src_f = jnp.clip(bounds[:-1][t_of_a] + (ra - ab[:-1][t_of_a]), 0, capacity)
+    src0_fwd = _floor128(src_f)
+    src_f_end = jnp.concatenate([src_f[1:], jnp.minimum(
+        src_f[-1] + rk.OB, capacity)[None]])
+    nch_fwd = jnp.maximum(-(-(src_f_end + 1 - src0_fwd) // rk.ICH), 0
+                          ).astype(jnp.int32)
+
+    # backward: per sorted-block source start in aligned space
+    rs = jnp.arange(c_sorted_pad // rk.OB, dtype=jnp.int32) * rk.OB
+    t_of_s = jnp.clip(jnp.searchsorted(bounds, rs, side="right").astype(jnp.int32) - 1,
+                      0, t - 1)
+    pos_s = jnp.clip(ab[:-1][t_of_s] + (rs - bounds[:-1][t_of_s]), 0, c_al - 1)
+    src0_bwd = _floor128(pos_s)
+    pos_end = jnp.concatenate([pos_s[1:], jnp.minimum(
+        pos_s[-1] + rk.OB, c_al)[None]])
+    nch_bwd = jnp.maximum(-(-(pos_end + 1 - src0_bwd) // rk.ICH), 0
+                          ).astype(jnp.int32)
+
+    align = rk.make_align_op(c_sorted_pad, c_al, 16)
+    rec_aligned = align(rec_sorted, bounds2d, ab2d, cnt2d,
+                        src0_fwd, nch_fwd, src0_bwd, nch_bwd)
+
+    # ---- 6. fused composite ---------------------------------------------
+    wp, hp = padded_dims(width, height, cfg)
+    pw, ph = wp // cfg.grid_x, hp // cfg.grid_y
+    op = pc._make_composite_op(t, cfg.chunk, pw, ph, cfg.grid_x, pw * ph,
+                               float(cfg.alpha_min), float(cfg.alpha_max),
+                               float(1.0 - cfg.saturation))
+    tiled = op(rec_aligned, ab, counts_t)
+    image = assemble_image(tiled[:, :, 0:3], tiled[:, :, 3], width, height, cfg)
+
+    num_visible = jnp.sum(prep["valid"])
+    stats = {
+        "num_splats": jnp.int32(n),
+        "num_visible": num_visible,
+        "num_culled": jnp.sum(prep["culled"]),
+        "num_records": total,
+        "num_duplicates": total - num_visible,
+        "overflow": jnp.maximum(total_all - capacity, 0),
+        "max_bin": jnp.max(counts_t),
+        "mean_bin": jnp.mean(counts_t.astype(jnp.float32)),
+        "binned_records": bounds[-1],
+        "aligned_records": ab[-1],
+    }
+    return image, stats

@@ -1,0 +1,398 @@
+"""TPU-native record pipeline: duplication, ordering and layout at HBM speed.
+
+Why this exists: XLA's irregular 1-D ops on TPU are orders of magnitude off
+roofline at multi-million-record scale (measured on v5e, 8M records: row
+gather 6.8s, searchsorted 0.9-1.4s, 1-D cumsum 0.6s) while ``jax.lax.sort``
+moves *full field payloads* almost for free (key+10 floats: 388ms vs 275ms
+key-only). So the pipeline is redesigned around two primitives TPUs are
+actually good at -- payload sorts and MXU matmuls:
+
+  1. sort splats by depth, field columns riding as sort payloads (N-sized)
+  2. expand duplicates: records in splat-major order are a *monotone* gather
+     (each output block reads a bounded contiguous input span), done by a
+     Pallas kernel as a one-hot MXU matmul -- an exact gather, since 0/1
+     multipliers are bf16-exact and HIGHEST precision reconstructs f32
+  3. stable sort records by tile id, fields as payloads: because step 1
+     ordered splats by depth, tile-stable order == (tile, depth) order --
+     the reference's packed key sort (preprocess.glsl:154) with the depth
+     ordering hoisted to the cheaper N-sized sort
+  4. align per-tile ranges to chunk boundaries for the compositor: another
+     monotone gather, same Pallas kernel, driven by the tiny (T+1) tables
+
+Backward: sorts un-sort by carrying the source index and re-sorting the
+cotangents (a sort is its own transpose engine); the expand's transpose is a
+per-splat segment-sum, again a one-hot MXU matmul over contiguous spans; the
+align's transpose is the same monotone-gather kernel with its two tables
+swapped. Gradient identity for duplicated splats (SURVEY.md hard part #5)
+holds exactly: every record lands in exactly one segment-sum.
+
+Mosaic layout rules obeyed throughout: bulk data lives fields-as-rows (F, C)
+so all dynamic slicing is along lanes at 128-aligned offsets (block starts
+are floored to 128; the slack is absorbed by the one-hot indices). All index
+arithmetic runs in f32, exact for values < 2^24 (asserted).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGH = jax.lax.Precision.HIGHEST
+
+# splat-table rows (transposed layout (ROWS, Npad)):
+#  0 mx  1 my  2 A  3 B  4 C  5 op  6 r  7 g  8 b
+#  9 tmin_x  10 tmin_y  11 ext_x  12 cum_excl  13 cum_incl  14-15 pad
+# (16 rows: Mosaic requires sublane slice sizes aligned to 8)
+NUM_FIELDS = 9
+TABLE_ROWS = 16
+
+OB = 512          # output records per expand/align grid step
+IB = 768          # input span per block: 128 (floor slack) + OB + 1, rounded
+SB = 512          # splats per segment-sum grid step
+ICH = 512         # record chunk per segment-sum inner step
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _dot(a, b):
+    """Exact f32 matmul (one-hot gathers need full precision)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=HIGH)
+
+
+def _dot_rt(a, b):
+    """a (M, K) x b (N, K) -> (M, N), contracting the lane dims of both.
+
+    Lets one-hots be built in (out, in) orientation so the span tables can
+    stay lane-oriented (Mosaic cannot DMA narrow sublane-oriented slices).
+    """
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HIGH)
+
+
+def _f0(x):
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+# ---------------------------------------------------------------------------
+# payload sort with re-sort backward
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def sort_with_payload(key, fields: Tuple[jnp.ndarray, ...]):
+    """Stable sort by ``key``; returns (sorted_key, source_idx, sorted_fields).
+
+    Differentiable w.r.t. the float field payloads: the backward pass
+    re-sorts the cotangents by the recorded source index (no scatter).
+    """
+    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort((key, idx) + tuple(fields), num_keys=1, is_stable=True)
+    return out[0], out[1], tuple(out[2:])
+
+
+def _swp_fwd(key, fields):
+    sk, si, sf = sort_with_payload(key, fields)
+    return (sk, si, sf), (si, jnp.zeros((0,), key.dtype))
+
+
+def _swp_bwd(res, g):
+    si, key_proto = res
+    _, _, g_fields = g
+    unsorted = jax.lax.sort((si,) + tuple(g_fields), num_keys=1, is_stable=True)
+    # The sort order itself carries no gradient (stop-gradient through the
+    # key, as in diff-gaussian-rasterization -- SURVEY.md hard part #3).
+    if jnp.issubdtype(key_proto.dtype, jnp.floating):
+        d_key = jnp.zeros(si.shape, key_proto.dtype)
+    else:
+        d_key = _f0(si)
+    return (d_key, tuple(unsorted[1:]))
+
+
+sort_with_payload.defvjp(_swp_fwd, _swp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# expand kernel: depth-sorted splat table -> splat-major records
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
+                   tbuf, sem, *, gx, num_tiles):
+    """One grid step emits records [r0, r0+OB).
+
+    s0_ref[b]: 128-floored first splat whose span may intersect the block.
+    meta_ref[0]: total record count. Record r belongs to splat s iff
+    cum_excl[s] <= r < cum_incl[s]; that predicate's one-hot (built in
+    (out, in) orientation against the lane-resident cum rows) gathers all
+    splat rows in one exact MXU matmul.
+    """
+    b = pl.program_id(0)
+    r0 = b * OB
+    s0 = pl.multiple_of(s0_ref[b], 128)
+    total = meta_ref[0]
+
+    in_dma = pltpu.make_async_copy(
+        table_ref.at[:, pl.ds(s0, IB)], tbuf, sem)
+    in_dma.start()
+    r_col = (r0 + jax.lax.broadcasted_iota(jnp.int32, (OB, 1), 0)).astype(jnp.float32)
+    r = (r0 + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)).astype(jnp.float32)
+    in_dma.wait()
+
+    excl = tbuf[12:13, :]                                 # (1, IB)
+    incl = tbuf[13:14, :]
+    onehot_t = jnp.where((excl <= r_col) & (r_col < incl), 1.0, 0.0)  # (OB, IB)
+    vals = _dot_rt(tbuf[:, :], onehot_t)                  # (TABLE_ROWS, OB)
+
+    j = r - vals[12:13, :]                                # r - cum_excl[s]
+    ext = jnp.maximum(vals[11:12, :], 1.0)
+    q = jnp.floor((j + 0.5) / ext)
+    tile = (vals[10:11, :] + q) * gx + vals[9:10, :] + (j - q * ext)
+
+    valid = (r < total).astype(jnp.float32)
+    out_ref[0:NUM_FIELDS, :] = vals[0:NUM_FIELDS, :] * valid
+    out_ref[NUM_FIELDS:NUM_FIELDS + 1, :] = jnp.where(
+        valid > 0, tile, jnp.float32(num_tiles))
+    out_ref[NUM_FIELDS + 1:, :] = jnp.zeros(
+        (16 - NUM_FIELDS - 1, OB), jnp.float32)
+
+
+def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(capacity // OB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # table (ROWS, Npad)
+        ],
+        out_specs=pl.BlockSpec((16, OB), lambda b, s0, m: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TABLE_ROWS, IB), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_expand_kernel, gx=gx, num_tiles=num_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, capacity), jnp.float32),
+        interpret=_interpret(),
+    )(s0_arr, meta, table_t)
+
+
+def _segsum_kernel(a0_ref, nch_ref, drec_ref, cum2l_ref, out_ref,
+                   dbuf, cbuf, sem, csem):
+    """Transpose of expand: per-splat segment-sum of record cotangents.
+
+    Grid step covers splats [n0, n0+SB); its records are the contiguous span
+    [cum_excl[n0], cum_incl[n0+SB-1]), streamed in ICH chunks and reduced
+    onto the splat axis by the transposed one-hot matmul.
+    """
+    b = pl.program_id(0)
+    n0 = b * SB
+    a0 = pl.multiple_of(a0_ref[b], 128)
+    nch = nch_ref[b]
+
+    cdma = pltpu.make_async_copy(
+        cum2l_ref.at[:, pl.ds(n0, SB)], cbuf, csem)
+    cdma.start()
+    out_ref[:, :] = jnp.zeros((NUM_FIELDS, SB), jnp.float32)
+    cdma.wait()
+    excl = cbuf[0:1, :]                                   # (1, SB)
+    incl = cbuf[1:2, :]
+    del csem
+
+    def body(c, _):
+        dma = pltpu.make_async_copy(
+            drec_ref.at[:, pl.ds(a0 + c * ICH, ICH)], dbuf, sem)
+        dma.start()
+        dma.wait()
+        ridx = (a0 + c * ICH
+                + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
+                ).astype(jnp.float32)
+        onehot = jnp.where((excl <= ridx) & (ridx < incl), 1.0, 0.0)  # (ICH, SB)
+        out_ref[:, :] += _dot(dbuf[0:NUM_FIELDS, :], onehot)
+
+    jax.lax.fori_loop(0, nch, body, None)
+
+
+def _segsum_call(drec_padded, cum2_lanes, a0_arr, nch_arr, *, n_seg_pad):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_seg_pad // SB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),   # drec (16, Cpad+IB)
+            pl.BlockSpec(memory_space=pltpu.HBM),   # cum2 lanes (2, Npad)
+        ],
+        out_specs=pl.BlockSpec((NUM_FIELDS, SB), lambda b, a, n: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, ICH), jnp.float32),
+            pltpu.VMEM((8, SB), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_FIELDS, n_seg_pad), jnp.float32),
+        interpret=_interpret(),
+    )(a0_arr, nch_arr, drec_padded, cum2_lanes)
+
+
+def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int):
+    """Differentiable duplicate expansion.
+
+    op(table_t (TABLE_ROWS, Npad), cum2_lanes (8, Npad), s0_arr, meta,
+       a0_arr, nch_arr) -> (16, capacity) records [9 fields, tile, zeros]
+       in splat-major (depth) order.
+    """
+
+    @jax.custom_vjp
+    def op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
+        return _expand_call(table_t, s0_arr, meta,
+                            capacity=capacity, gx=gx, num_tiles=num_tiles)
+
+    def fwd(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
+        out = op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
+        return out, (table_t.shape, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
+
+    def bwd(res, g):
+        table_shape, cum2_lanes, s0_arr, meta, a0_arr, nch_arr = res
+        # pad cotangents so segment-sum chunk DMAs stay in range
+        g_pad = jnp.zeros((16, round_up(g.shape[1] + 2 * ICH, ICH)), jnp.float32)
+        g_pad = g_pad.at[:, 0:g.shape[1]].set(g)
+        d_fields = _segsum_call(g_pad, cum2_lanes, a0_arr, nch_arr,
+                                n_seg_pad=n_seg_pad)
+        d_table = jnp.zeros(table_shape, jnp.float32)
+        d_table = d_table.at[0:NUM_FIELDS, 0:n_seg_pad].set(
+            d_fields[:, 0:min(n_seg_pad, table_shape[1])])
+        return (d_table, jnp.zeros_like(cum2_lanes),
+                _f0(s0_arr), _f0(meta), _f0(a0_arr), _f0(nch_arr))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# monotone segment gather (align fwd and its transpose)
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(src0_ref, nch_ref, outstart_ref, instart_ref, cnt_ref,
+                   in_ref, out_ref, ibuf, sem, *, nf):
+    """out[:, r] = in[:, instart[t] + (r - outstart[t])] where t is the
+    output-space segment containing r; masked by r - outstart[t] < cnt[t].
+
+    The segment tables are (t_pad, 1) sublane-oriented and sit whole in VMEM.
+    src is monotone in r; the block's source span [src0, src0 + nch*ICH) is
+    streamed chunk by chunk (nch is 1-2 for dense forward mappings, larger
+    when segments in the input are padded apart, e.g. the align transpose),
+    each chunk contributing through an exact one-hot matmul.
+    """
+    b = pl.program_id(0)
+    r0 = b * OB
+    src0 = pl.multiple_of(src0_ref[b], 128)
+    nch = nch_ref[b]
+
+    r = (r0 + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)).astype(jnp.float32)
+    outs = outstart_ref[:, 0:1]                           # (t_pad, 1)
+    ins = instart_ref[:, 0:1]
+    cnt = cnt_ref[:, 0:1]
+    seg = jnp.where((outs <= r) & (r < outs + cnt), 1.0, 0.0)  # (t_pad, OB)
+    in_of = jnp.sum(ins * seg, axis=0, keepdims=True)     # (1, OB)
+    out_of = jnp.sum(outs * seg, axis=0, keepdims=True)
+    valid = jnp.sum(seg, axis=0, keepdims=True)
+    src = jnp.where(valid > 0, in_of + (r - out_of), -1.0)  # (1, OB) global
+
+    out_ref[:, :] = jnp.zeros((nf, OB), jnp.float32)
+
+    def body(c, _):
+        dma = pltpu.make_async_copy(
+            in_ref.at[:, pl.ds(src0 + c * ICH, ICH)], ibuf, sem)
+        dma.start()
+        i = (src0 + c * ICH
+             + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
+             ).astype(jnp.float32)
+        onehot = jnp.where(i == src, 1.0, 0.0)            # (ICH, OB)
+        dma.wait()
+        out_ref[:, :] += _dot(ibuf[:, :], onehot)
+
+    jax.lax.fori_loop(0, nch, body, None)
+
+
+def segment_gather(in_arr, outstart2d, instart2d, cnt2d, src0_arr, nch_arr,
+                   out_len: int, nf: int):
+    """Monotone segmented gather; see ``_gather_kernel``. in_arr must be
+    padded so every [src0, src0 + nch*ICH) span is in range."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(out_len // OB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # outstart (t_pad, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # instart
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cnt
+            pl.BlockSpec(memory_space=pltpu.HBM),    # in (nf, in_len)
+        ],
+        out_specs=pl.BlockSpec((nf, OB), lambda b, s, n: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nf, ICH), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_gather_kernel, nf=nf)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nf, out_len), jnp.float32),
+        interpret=_interpret(),
+    )(src0_arr, nch_arr, outstart2d, instart2d, cnt2d, in_arr)
+
+
+def make_align_op(c_sorted_pad: int, c_aligned: int, nf: int):
+    """Differentiable chunk-alignment of sorted records.
+
+    op(rec (nf, c_sorted_pad), bounds2d, ab2d, cnt2d,
+       src0_fwd, nch_fwd, src0_bwd, nch_bwd) -> (nf, c_aligned).
+    Forward: output segments start at ab[t], reading from bounds[t];
+    backward: the same kernel with the tables swapped maps aligned
+    cotangents back onto sorted records (each lands exactly once).
+    """
+
+    @jax.custom_vjp
+    def op(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd):
+        return segment_gather(rec, ab2d, bounds2d, cnt2d, src0_fwd, nch_fwd,
+                              c_aligned, nf)
+
+    def fwd(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd):
+        out = op(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd,
+                 src0_bwd, nch_bwd)
+        return out, (bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec.shape)
+
+    def bwd(res, g):
+        bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec_shape = res
+        g_pad = jnp.zeros((rec_shape[0], round_up(g.shape[1] + 2 * ICH, ICH)),
+                          jnp.float32)
+        g_pad = g_pad.at[:, 0:g.shape[1]].set(g)
+        d_rec = segment_gather(g_pad, bounds2d, ab2d, cnt2d, src0_bwd,
+                               nch_bwd, rec_shape[1], nf)
+        return (d_rec, jnp.zeros_like(bounds2d), jnp.zeros_like(ab2d),
+                jnp.zeros_like(cnt2d), _f0(src0_bwd), _f0(nch_bwd),
+                _f0(src0_bwd), _f0(nch_bwd))
+
+    op.defvjp(fwd, bwd)
+    return op

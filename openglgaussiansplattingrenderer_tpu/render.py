@@ -50,6 +50,12 @@ def render_arrays(
     of scales/quats (matching the reference's load-time covariance precompute,
     ``src/Splats.cpp:414-438``).
     """
+    if cfg.use_pallas and _pallas_available():
+        from openglgaussiansplattingrenderer_tpu.ops import fastpath
+
+        return fastpath.render_fast(params, view, vp, focal_x, focal_y,
+                                    tan_fovx, tan_fovy, width, height, cfg)
+
     n = params["means"].shape[0]
     cov6 = params.get("cov6")
     if cov6 is None:
@@ -67,13 +73,7 @@ def render_arrays(
     sorted_sid, bounds = binning.sort_and_bin(recs, cfg)
     gathered = compositing.gather_records(prep, params["colors"], sorted_sid)
 
-    use_pallas = cfg.use_pallas and _pallas_available()
-    if use_pallas:
-        from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pallas_composite
-
-        image, aux = pallas_composite.composite(gathered, bounds, width, height, cfg)
-    else:
-        image, aux = compositing.composite(gathered, bounds, width, height, cfg)
+    image, aux = compositing.composite(gathered, bounds, width, height, cfg)
 
     num_visible = jnp.sum(prep["valid"])
     stats = {
@@ -91,7 +91,7 @@ def render_arrays(
 
 def _pallas_available() -> bool:
     try:
-        from openglgaussiansplattingrenderer_tpu.ops.pallas import composite  # noqa: F401
+        from openglgaussiansplattingrenderer_tpu.ops import fastpath  # noqa: F401
 
         return True
     except Exception:

@@ -92,8 +92,14 @@ def test_pallas_backward_saturated_scene():
     scene["scales"] = np.full((120, 3), 0.15, np.float32)
     cam = Camera(0.0, 0.0, -2.0, width=w, height=h)
     target = jnp.zeros((h, w, 3))
-    cfg_j = dataclasses.replace(BASE, use_pallas=False, max_per_tile=2048)
-    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+    # Big-splat overdraw: ~64 tiles/splat. Capacity must cover the expansion:
+    # under overflow the two paths drop different records by design (array
+    # order vs depth order; see ops/fastpath.py docstring).
+    cfg_j = dataclasses.replace(BASE, use_pallas=False, max_per_tile=2048,
+                                dup_capacity_factor=80.0)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True, dup_capacity_factor=80.0)
+    img_p, stats_p = _run(scene, cam, cfg_p, w, h)
+    assert int(stats_p["overflow"]) == 0
     loss_j, g_j = _run(scene, cam, cfg_j, w, h, grad=True, target=target)
     loss_p, g_p = _run(scene, cam, cfg_p, w, h, grad=True, target=target)
     assert np.isclose(loss_p, loss_j, rtol=1e-4)
