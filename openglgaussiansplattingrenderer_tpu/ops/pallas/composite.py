@@ -271,7 +271,12 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
         rec = rec_buf[slot]                           # (NF, chunk)
         k = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
         in_range = k < n
+        mx, my = rec[0:1, :], rec[1:2, :]
         ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+        op = rec[5:6, :]
+        # tile-local record centres keep the moment algebra numerically small
+        mxl = mx - ((t % gx) * pw).astype(jnp.float32)
+        myl = my - ((t // gx) * ph).astype(jnp.float32)
 
         dbuf[:, :] = jnp.zeros((NF, chunk), jnp.float32)
 
@@ -286,10 +291,10 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
             trans = state[rows, 0:1]
             d_carry = state[rows, 1:2]
 
-            dx = px - rec[0:1, :]
-            dy = py - rec[1:2, :]
+            dx = px - mx
+            dy = py - my
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha_pre = jnp.exp(power) * rec[5:6, :]
+            alpha_pre = jnp.exp(power) * op
             alpha = jnp.minimum(alpha_max, alpha_pre)
             keep = in_range & (power <= 0.0) & (alpha >= alpha_min)
             alpha = jnp.where(keep, alpha, 0.0)
@@ -310,20 +315,38 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
             gate = keep & inc & (alpha_pre < alpha_max)
             dalpha = jnp.where(gate, dabar, 0.0)
             dpower = dalpha * alpha
-            gexp = jnp.where(gate, dalpha * jnp.exp(power), 0.0)
 
-            dbuf[0:1, :] += jnp.sum(dpower * (ca * dx + cb * dy), axis=0,
-                                    keepdims=True)
-            dbuf[1:2, :] += jnp.sum(dpower * (cc * dy + cb * dx), axis=0,
-                                    keepdims=True)
-            dbuf[2:3, :] += jnp.sum(-0.5 * dx * dx * dpower, axis=0, keepdims=True)
-            dbuf[3:4, :] += jnp.sum(-dx * dy * dpower, axis=0, keepdims=True)
-            dbuf[4:5, :] += jnp.sum(-0.5 * dy * dy * dpower, axis=0, keepdims=True)
-            dbuf[5:6, :] += jnp.sum(gexp, axis=0, keepdims=True)
-            for ch in range(3):
-                dbuf[6 + ch:7 + ch, :] += jnp.sum(w * g_rgb[:, ch:ch + 1],
-                                                  axis=0, keepdims=True)
+            # All per-record pixel reductions via two MXU matmuls:
+            # geometric grads from basis moments of dpower (tile-local
+            # coordinates: px_l <= tile size so the expansions stay exact),
+            # colour grads + the D-carry decrement from [g_rgb | ones] x w.
+            pxl = px - ((t % gx) * pw).astype(jnp.float32)  # (pblk, 1)
+            pyl = py - ((t // gx) * ph).astype(jnp.float32)
+            ones = jnp.ones((pblk, 1), jnp.float32)
+            basis = jnp.concatenate(
+                [ones, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+                 g_rgb, ones], axis=1)                # (pblk, 10)
+            mom = jax.lax.dot_general(
+                basis, jnp.concatenate([dpower, w], axis=1),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # (10, 2*chunk)
+            md = mom[:, 0:chunk]                       # moments of dpower
+            mw = mom[:, chunk:2 * chunk]               # moments of w
+            s1, sx, sy = md[0:1, :], md[1:2, :], md[2:3, :]
+            sxx, sxy, syy = md[3:4, :], md[4:5, :], md[5:6, :]
 
+            dxs = sx - mxl * s1                        # sum dpower*dx
+            dys = sy - myl * s1
+            dbuf[0:1, :] += ca * dxs + cb * dys        # d mx
+            dbuf[1:2, :] += cc * dys + cb * dxs        # d my
+            dbuf[2:3, :] += -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s1)
+            dbuf[3:4, :] += -(sxy - mxl * sy - myl * sx + mxl * myl * s1)
+            dbuf[4:5, :] += -0.5 * (syy - 2.0 * myl * sy + myl * myl * s1)
+            # d opacity: sum dalpha*exp(power) = sum dpower / op (unclamped
+            # under the gate, where alpha == exp(power)*op exactly)
+            dbuf[5:6, :] += s1 / jnp.maximum(op, 1e-12)
+            dbuf[6:9, :] += mw[6:9, :]                 # d colour
             # carry updates
             m1 = jnp.where(inc, one_m, 1.0)
             state[rows, 0:1] = trans * (_cumprod_excl_lanes(m1)[:, -1:] * m1[:, -1:])
@@ -349,7 +372,7 @@ def _interpret() -> bool:
 
 
 FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
-BWD_TEMP_BUDGET = 64_000
+BWD_TEMP_BUDGET = 131_072
 
 
 def _fwd_call(rec, ab, counts, *, num_tiles, chunk, pw, ph, gx, p,
