@@ -94,11 +94,15 @@ def test_sort_and_bin_ranges(rng):
         assert sorted(seg.tolist()) == sorted(s for _, s in by_tile.get(t, []))
 
 
-def test_reference_key_mode_matches_pair_mode(rng):
+def test_reference_key_mode_matches_pair_mode():
     """The packed-float-key sort (parity mode) groups identically when depths
-    fit the float budget."""
+    fit the float budget. Depths are kept away from 1.0: the reference's
+    tile + z key genuinely rounds z ~ 0.9999999 into the NEXT tile at large
+    tile indices (QUIRKS.md), which is the flaw the pair mode fixes."""
+    rng = np.random.default_rng(42)
     n = 300
     counts, tmin, ext, depth = _random_prep(rng, n)
+    depth = (depth * 0.9).astype(np.float32)
     cfg_pair = RenderConfig(depth_key="pair", dup_capacity_factor=8.0)
     cfg_ref = RenderConfig(depth_key="reference", dup_capacity_factor=8.0)
     capacity = cfg_pair.capacity(n)

@@ -1,0 +1,50 @@
+"""Reusable sort parity with the reference's GPU radix-sort test.
+
+``tests/sortTests.cpp:127-253`` sorts exactly 5,119,993 random float keys
+(32*16*10000 - 7, deliberately not a multiple of the section count) on the
+GPU and asserts element-wise equality against std::sort. Same contract here
+against np.sort, plus the indirect (argsort) and payload-carrying variants
+the renderer uses.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openglgaussiansplattingrenderer_tpu.ops import sorting
+from openglgaussiansplattingrenderer_tpu.ops.pallas import records as rk
+
+N_REFERENCE = 32 * 16 * 10000 - 7  # sortTests.cpp:181
+
+
+def test_sort_five_million_exact(rng):
+    # keys in [0.5, 256.5) like the reference generator (utils.cpp:49-63)
+    keys = (rng.random(N_REFERENCE, dtype=np.float32) * 256.0 + 0.5).astype(np.float32)
+    idx = np.asarray(sorting.argsort_floats(jnp.asarray(keys)))
+    got = keys[idx]
+    want = np.sort(keys, kind="stable")
+    np.testing.assert_array_equal(got, want)
+    # orderedness check, as sortTests.cpp:226-242 does separately
+    assert np.all(np.diff(got) >= 0)
+
+
+def test_sort_with_payload_matches_argsort(rng):
+    n = 100_000
+    keys = rng.random(n).astype(np.float32)
+    vals = rng.random(n).astype(np.float32)
+    sk, si, (sv,) = rk.sort_with_payload(jnp.asarray(keys), (jnp.asarray(vals),))
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(si), order.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+
+
+def test_lexicographic_tile_depth(rng):
+    n = 50_000
+    tile = rng.integers(0, 256, n).astype(np.int32)
+    depth = rng.random(n).astype(np.float32)
+    vals = np.arange(n, dtype=np.int32)
+    st, sv = sorting.sort_by_tile_depth(jnp.asarray(tile), jnp.asarray(depth),
+                                        jnp.asarray(vals))
+    order = np.lexsort((depth, tile))
+    np.testing.assert_array_equal(np.asarray(st), tile[order])
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])

@@ -1,0 +1,76 @@
+"""Trainer smoke + convergence tests (capability the reference lacks)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.render import render_stats
+from openglgaussiansplattingrenderer_tpu.train import (
+    TrainConfig, fit_scene, losses, trainer,
+)
+
+CFG = RenderConfig(use_pallas=False, chunk=32, max_per_tile=256,
+                   dup_capacity_factor=32.0)
+
+
+def test_losses_basic():
+    a = jnp.zeros((32, 32, 3))
+    b = jnp.ones((32, 32, 3)) * 0.5
+    assert float(losses.l1(a, a)) == 0.0
+    assert float(losses.l2(a, b)) > 0
+    assert 0.99 < float(losses.ssim(b, b)) <= 1.0
+    assert float(losses.dssim(b, b)) < 1e-5
+    assert float(losses.psnr(a, a)) > 100
+
+
+def test_raw_roundtrip(rng):
+    scene = ply_io.make_synthetic_scene(20, seed=1)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    back = trainer.params_from_raw(trainer.raw_from_params(params))
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(params[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_fit_recovers_color():
+    """Perturb colours of a small scene; fitting to the clean render must
+    improve PSNR substantially."""
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(25, seed=6, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.4, 0.9)
+    cam = Camera(0.0, 0.0, -4.0, width=w, height=h)
+    clean = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    target, _ = render_stats(clean, cam, CFG)
+    target = target[..., :3]
+
+    noisy = dict(scene)
+    rngg = np.random.default_rng(0)
+    noisy["colors"] = np.clip(
+        scene["colors"] + rngg.normal(0, 60, scene["colors"].shape), 5, 250
+    ).astype(np.float32)
+    start = {k: jnp.asarray(v) for k, v in noisy.items() if k != "sh_rest"}
+
+    img0, _ = render_stats(start, cam, CFG)
+    psnr0 = float(losses.psnr(img0[..., :3], target))
+
+    tc = TrainConfig(steps=60, lambda_dssim=0.0)
+    fitted, hist = fit_scene(start, [np.asarray(target)], [cam], CFG, tc,
+                             verbose=False, log_every=20)
+    img1, _ = render_stats(fitted, cam, CFG)
+    psnr1 = float(losses.psnr(img1[..., :3], target))
+    assert psnr1 > psnr0 + 3.0, f"psnr {psnr0} -> {psnr1}"
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = ply_io.make_synthetic_scene(10, seed=2)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    raw = trainer.raw_from_params(params)
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save_checkpoint(path, raw, step=7)
+    raw2, step = trainer.load_checkpoint(path)
+    assert step == 7
+    for k in raw:
+        np.testing.assert_allclose(np.asarray(raw[k]), raw2[k], atol=1e-7)
