@@ -78,8 +78,10 @@ def render_fast(
     _, _, sf = rk.sort_with_payload(key, fields)
     counts_s = sf[12].astype(jnp.int32)
 
-    # ---- 2. duplicate-count prefix sum -----------------------------------
-    cum_incl_i = jnp.cumsum(counts_s)
+    # ---- 2. duplicate-count prefix sum (Pallas; XLA 1-D cumsum is slow) --
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import scan as pscan
+
+    cum_incl_i = pscan.cumsum(counts_s)
     cum_excl_i = cum_incl_i - counts_s
     total_all = cum_incl_i[-1]
     total = jnp.minimum(total_all, capacity).astype(jnp.int32)
