@@ -76,6 +76,12 @@ class RenderConfig:
     # Use the fused Pallas tile-compositing kernel when available.
     use_pallas: bool = True
 
+    # Spherical-harmonic colour degree (0-3). 0 = the reference's
+    # view-independent DC colour (it parses but discards the 45 f_rest
+    # coefficients, Splats.cpp:301-302); 1-3 evaluate the full basis when
+    # params carry "sh_rest".
+    sh_degree: int = 0
+
     # Replicate the reference GPU preprocess quirk of computing the tile size
     # with integer division (preprocess.glsl:143) instead of float division
     # (Splats.cpp:596). Only differs when width/height % grid != 0.

@@ -54,6 +54,9 @@ def render_fast(
     prep = projection.preprocess(
         params["means"], cov6, params["opacities"], view, vp,
         width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg)
+    from openglgaussiansplattingrenderer_tpu.render import effective_colors
+
+    colors = effective_colors(params, view, cfg)
 
     capacity = rk.round_up(cfg.capacity(n), rk.OB)
     t = cfg.num_tiles
@@ -68,8 +71,7 @@ def render_fast(
     fields = (
         prep["mean2d"][:, 0], prep["mean2d"][:, 1],
         prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
-        prep["opacity"], params["colors"][:, 0], params["colors"][:, 1],
-        params["colors"][:, 2],
+        prep["opacity"], colors[:, 0], colors[:, 1], colors[:, 2],
         prep["tile_min"][:, 0].astype(jnp.float32),
         prep["tile_min"][:, 1].astype(jnp.float32),
         prep["tile_ext"][:, 0].astype(jnp.float32),

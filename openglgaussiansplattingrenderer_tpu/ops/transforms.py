@@ -103,3 +103,68 @@ def covariance_quadratic_form(cov6, u, v):
             + b * (u0 * v1 + u1 * v0)
             + c * (u0 * v2 + u2 * v0)
             + e * (u1 * v2 + u2 * v1))
+
+
+# ---------------------------------------------------------------------------
+# Spherical harmonics (view-dependent colour)
+# ---------------------------------------------------------------------------
+# The reference reads the 45 f_rest coefficients and discards them
+# (src/Splats.cpp:301-302) -- its colour is DC-only. We keep them (like its
+# Python tooling, tests/plyFileGenerator.py:119-127) and evaluate the full
+# degree-3 basis, matching graphdeco-inria/diff-gaussian-rasterization's
+# constants. Linear in the coefficients, so gradients flow for free.
+
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def eval_sh(dc, sh_rest, dirs, degree: int, color_scale: float = 255.0):
+    """Evaluate view-dependent colour from SH coefficients.
+
+    dc (N, 3): the f_dc coefficients; sh_rest (N, 45): f_rest in the 3DGS
+    PLY channel-major layout (15 coeffs x 3 channels, channel outer --
+    tests/plyFileGenerator.py:125-127); dirs (N, 3): unit view directions
+    (splat centre minus camera centre). Returns (N, 3) colour in
+    [0, color_scale] convention: (0.5 + SH(dir)) * color_scale, degree 0
+    reducing exactly to the reference's DC formula (src/Splats.cpp:295).
+    """
+    c = SH_C0 * dc
+    if degree >= 1:
+        sh = sh_rest.reshape(sh_rest.shape[0], 3, -1)    # (N, 3, 15) ch-major
+        sh = jnp.swapaxes(sh, 1, 2)                      # (N, 15, 3)
+        x = dirs[:, 0:1]
+        y = dirs[:, 1:2]
+        z = dirs[:, 2:3]
+        c = c - SH_C1 * y * sh[:, 0] + SH_C1 * z * sh[:, 1] - SH_C1 * x * sh[:, 2]
+        if degree >= 2:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            c = (c + SH_C2[0] * xy * sh[:, 3]
+                 + SH_C2[1] * yz * sh[:, 4]
+                 + SH_C2[2] * (2.0 * zz - xx - yy) * sh[:, 5]
+                 + SH_C2[3] * xz * sh[:, 6]
+                 + SH_C2[4] * (xx - yy) * sh[:, 7])
+        if degree >= 3:
+            c = (c + SH_C3[0] * y * (3.0 * xx - yy) * sh[:, 8]
+                 + SH_C3[1] * xy * z * sh[:, 9]
+                 + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[:, 10]
+                 + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[:, 11]
+                 + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[:, 12]
+                 + SH_C3[5] * z * (xx - yy) * sh[:, 13]
+                 + SH_C3[6] * x * (xx - 3.0 * yy) * sh[:, 14])
+    return (0.5 + c) * color_scale
+
+
+def camera_center_from_view(view):
+    """World-space camera centre of a view matrix [R|t]: -R^T t.
+
+    With the reference's +position translation quirk (Camera.cpp:63-64) this
+    equals -position.
+    """
+    r = view[:3, :3]
+    t = view[:3, 3]
+    return -(r.T @ t)

@@ -28,7 +28,28 @@ import numpy as np
 
 from openglgaussiansplattingrenderer_tpu.config import RenderConfig
 from openglgaussiansplattingrenderer_tpu.ops import binning, compositing, projection
-from openglgaussiansplattingrenderer_tpu.ops.transforms import build_covariance
+from openglgaussiansplattingrenderer_tpu.ops.transforms import (
+    build_covariance,
+    camera_center_from_view,
+    color_to_dc,
+    eval_sh,
+)
+
+
+def effective_colors(params, view, cfg: RenderConfig):
+    """View-dependent colour when cfg.sh_degree > 0 and SH coeffs present.
+
+    Capability beyond the reference (it discards f_rest); degree 0 reduces
+    exactly to the DC colours stored in params["colors"].
+    """
+    sh_rest = params.get("sh_rest")
+    if cfg.sh_degree <= 0 or sh_rest is None:
+        return params["colors"]
+    center = camera_center_from_view(view)
+    d = params["means"] - center[None, :]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    dc = color_to_dc(params["colors"], cfg.color_scale)
+    return eval_sh(dc, sh_rest, d, cfg.sh_degree, cfg.color_scale)
 
 
 def render_arrays(
@@ -71,7 +92,8 @@ def render_arrays(
         cfg, capacity,
     )
     sorted_sid, bounds = binning.sort_and_bin(recs, cfg)
-    gathered = compositing.gather_records(prep, params["colors"], sorted_sid)
+    gathered = compositing.gather_records(prep, effective_colors(params, view, cfg),
+                                          sorted_sid)
 
     image, aux = compositing.composite(gathered, bounds, width, height, cfg)
 

@@ -48,13 +48,16 @@ class SplatScene:
 
     def params(self) -> Dict[str, jnp.ndarray]:
         """Differentiable parameter dict for the render pipeline."""
-        return {
+        out = {
             "means": jnp.asarray(self.means),
             "scales": jnp.asarray(self.scales),
             "quats": jnp.asarray(self.quats),
             "opacities": jnp.asarray(self.opacities),
             "colors": jnp.asarray(self.colors),
         }
+        if self.sh_rest is not None and self.sh_rest.shape[-1] > 0:
+            out["sh_rest"] = jnp.asarray(self.sh_rest)
+        return out
 
     def covariances(self) -> jnp.ndarray:
         """Packed (N, 6) 3D covariances (ref ``Splats::computeCovarianceMatrices``)."""
