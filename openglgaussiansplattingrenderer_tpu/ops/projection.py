@@ -51,23 +51,28 @@ def preprocess(
     """Project all splats to screen space. Returns per-splat arrays."""
     f32 = jnp.float32
     means = means.astype(f32)
-    n = means.shape[0]
-    means4 = jnp.concatenate([means, jnp.ones((n, 1), f32)], axis=1)
 
     # --- projection of the mean (preprocess.glsl:77-94) -------------------
-    # precision="highest": TPU f32 matmul defaults to bfloat16 multiplies,
-    # which drifts projected centres by ~0.5px on metre-scale scenes. These
-    # Nx4 @ 4x4 products are tiny; full f32 costs nothing.
-    p = jnp.matmul(means4, vp.T.astype(f32), precision="highest")
-    w = jnp.maximum(p[:, 3], cfg.w_eps)
-    ndc = p / w[:, None]
+    # Explicit elementwise mat4 application: (N,4)@(4,4) matmuls are
+    # pathological on the MXU (measured 60 ms at N=1M on v5e vs ~1 ms on the
+    # VPU) and the bf16-default matmul precision drifted centres by ~0.5px.
+    def apply_mat4(mat):
+        mat = mat.astype(f32)
+        mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+        return [mx * mat[j, 0] + my * mat[j, 1] + mz * mat[j, 2] + mat[j, 3]
+                for j in range(4)]
+
+    p0, p1, p2, p3 = apply_mat4(vp)
+    w = jnp.maximum(p3, cfg.w_eps)
+    ndc = jnp.stack([p0 / w, p1 / w, p2 / w], axis=1)
     culled = (jnp.abs(ndc[:, 0]) > 1.0) | (jnp.abs(ndc[:, 1]) > 1.0)
     sx = (ndc[:, 0] + 1.0) * 0.5 * width
     sy = (ndc[:, 1] + 1.0) * 0.5 * height
     z01 = (ndc[:, 2] + 1.0) * 0.5
 
     # --- view-space position with fov clamp (preprocess.glsl:110-116) -----
-    t = jnp.matmul(means4, view.T.astype(f32), precision="highest")
+    t0, t1, t2, _ = apply_mat4(view)
+    t = jnp.stack([t0, t1, t2], axis=1)
     tz = t[:, 2]
     # Reference quirk kept verbatim: limx = -margin * tanFov and the clamp is
     # written min(limx, max(-limx, x)). With the reference Camera's
