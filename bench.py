@@ -49,7 +49,7 @@ def main():
 
     cfg = RenderConfig.for_resolution(
         WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=256,
-        dup_capacity_factor=8.0)
+        dup_capacity_factor=4.0)
     log(f"grid {cfg.grid_x}x{cfg.grid_y} ({cfg.num_tiles} tiles), "
         f"capacity {cfg.capacity(NUM_SPLATS)}")
 
@@ -79,8 +79,11 @@ def main():
 
     # NOTE: on this backend block_until_ready can return before queued work
     # executes; a host fetch of an output scalar is the reliable fence.
+    # Index the device array first -- converting a whole leaf would drag
+    # megabytes through the device tunnel into the timing.
     def fence(x):
-        return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+        leaf = jax.tree.leaves(x)[0]
+        return float(leaf[(0,) * leaf.ndim])
 
     t0 = time.time()
     img, stats = fwd(params)

@@ -19,11 +19,17 @@ import numpy as np
 
 
 def fence(x) -> float:
-    """Force execution by fetching one scalar of the first output leaf."""
+    """Force execution by fetching one scalar of the first output leaf.
+
+    Indexes on-device first: converting a whole leaf would drag the full
+    array through the host link into the measurement."""
     leaves = jax.tree.leaves(x)
     if not leaves:
         return 0.0
-    return float(np.asarray(leaves[0]).ravel()[0])
+    leaf = leaves[0]
+    if hasattr(leaf, "ndim") and leaf.ndim > 0:
+        return float(leaf[(0,) * leaf.ndim])
+    return float(np.asarray(leaf))
 
 
 class FrameTimer:
