@@ -3,3 +3,4 @@ from openglgaussiansplattingrenderer_tpu.viewer.offline import (  # noqa: F401
     render_orbit,
     render_frame,
 )
+from openglgaussiansplattingrenderer_tpu.viewer import interactive  # noqa: F401
