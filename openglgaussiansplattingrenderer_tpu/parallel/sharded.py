@@ -166,7 +166,7 @@ def render_sharded(params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
     return assemble_image(rgb, trans, width, height, cfg)
 
 
-def sharded_train_step(params, opt_state, target, view, vp, focal_x, focal_y,
+def sharded_train_step(raw, opt_state, target, view, vp, focal_x, focal_y,
                        tan_fovx, tan_fovy, *, width: int, height: int,
                        cfg: RenderConfig, mesh: Mesh, optimizer,
                        axis: str = AXIS):
@@ -174,15 +174,20 @@ def sharded_train_step(params, opt_state, target, view, vp, focal_x, focal_y,
 
     The full training step the driver's ``dryrun_multichip`` exercises:
     sharded forward, collective-backed backward, optax update on sharded
-    parameter pytrees.
+    parameter pytrees. Like ``train/trainer.py``, optimisation happens in
+    *raw* (pre-activation) space -- log-scales, logit-opacities,
+    unnormalised quaternions (renormalised inside ``params_from_raw``) --
+    so updates can never push activations out of range. ``raw`` is a
+    ``trainer.raw_from_params`` pytree sharded over the mesh.
     """
+    from openglgaussiansplattingrenderer_tpu.train.trainer import params_from_raw
 
-    def loss_fn(p):
-        img = render_sharded(p, view, vp, focal_x, focal_y, tan_fovx,
-                             tan_fovy, width, height, cfg, mesh, axis)
+    def loss_fn(raw):
+        img = render_sharded(params_from_raw(raw), view, vp, focal_x, focal_y,
+                             tan_fovx, tan_fovy, width, height, cfg, mesh, axis)
         return jnp.mean((img[..., :3] - target) ** 2)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = jax.tree.map(lambda a, u: a + u, params, updates)
-    return params, opt_state, loss
+    loss, grads = jax.value_and_grad(loss_fn)(raw)
+    updates, opt_state = optimizer.update(grads, opt_state, raw)
+    raw = jax.tree.map(lambda a, u: a + u, raw, updates)
+    return raw, opt_state, loss

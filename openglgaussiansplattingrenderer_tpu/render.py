@@ -111,12 +111,28 @@ def render_arrays(
     return image, stats
 
 
+_PALLAS_IMPORT_ERROR = []
+
+
 def _pallas_available() -> bool:
+    """True when the Pallas fast path imports. A failure is NOT silent:
+    falling back to the oracle pipeline costs ~30x, so it warns loudly once
+    with the underlying error (VERDICT r1 weak #7)."""
     try:
         from openglgaussiansplattingrenderer_tpu.ops import fastpath  # noqa: F401
 
         return True
-    except Exception:
+    except Exception as e:  # pragma: no cover - only on broken installs
+        if not _PALLAS_IMPORT_ERROR:
+            _PALLAS_IMPORT_ERROR.append(e)
+            import warnings
+
+            warnings.warn(
+                "Pallas fast path unavailable; falling back to the ~30x "
+                f"slower XLA oracle pipeline. Cause: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return False
 
 

@@ -105,7 +105,25 @@ class Splats:
         )
         self.last_image = np.asarray(image)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        self._warn_on_overflow()
         return self.last_image
+
+    def _warn_on_overflow(self) -> None:
+        """Warn when the frame dropped records to fit the static capacity.
+
+        The reference silently clamps its duplicate counter at numSplats
+        (``Splats.cpp:579-583``); here an image produced with overflow > 0 is
+        incomplete (farthest records dropped), so the facade says so.
+        """
+        ov = int(self.last_stats.get("overflow", 0)) if self.last_stats else 0
+        if ov > 0:
+            import warnings
+
+            warnings.warn(
+                f"render overflowed record capacity by {ov} records "
+                f"(dup_capacity_factor={self.cfg.dup_capacity_factor}); the "
+                "image is missing the farthest duplicates -- raise "
+                "dup_capacity_factor", RuntimeWarning, stacklevel=3)
 
     def render_camera(self, camera) -> np.ndarray:
         from openglgaussiansplattingrenderer_tpu.render import render_stats
@@ -113,6 +131,7 @@ class Splats:
         image, stats = render_stats(self.scene, camera, self.cfg)
         self.last_image = np.asarray(image)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        self._warn_on_overflow()
         return self.last_image
 
     def cpu_render(self, view_matrix, width, height, focal_x, focal_y,
