@@ -45,8 +45,15 @@ def render_fast(
     params: Dict[str, jnp.ndarray],
     view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
     width: int, height: int, cfg: RenderConfig,
+    stop_after: str | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Fast differentiable render. Returns ((H, W, 4) image, stats)."""
+    """Fast differentiable render. Returns ((H, W, 4) image, stats).
+
+    ``stop_after`` truncates the pipeline after a named stage and returns that
+    stage's outputs instead -- the hook ``scripts/profile_stages.py`` uses to
+    time each stage as a complete compiled program (prefix-timing): one of
+    "prep", "sort1", "cumsum", "expand", "sort2", "align".
+    """
     n = params["means"].shape[0]
     cov6 = params.get("cov6")
     if cov6 is None:
@@ -57,12 +64,15 @@ def render_fast(
     from openglgaussiansplattingrenderer_tpu.render import effective_colors
 
     colors = effective_colors(params, view, cfg)
+    if stop_after == "prep":
+        return prep["mean2d"], {"conic": prep["conic"], "colors": colors,
+                                "depth": prep["depth"]}
 
-    capacity = rk.round_up(cfg.capacity(n), rk.OB)
+    capacity = rk.round_up(cfg.capacity(n), rk.OB * rk.EXP_OUTER)
     t = cfg.num_tiles
     if cfg.chunk % 128 and not rk._interpret():
         raise ValueError(f"fast path needs chunk % 128 == 0, got {cfg.chunk}")
-    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB)
+    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB * rk.AL_OUTER)
     if c_al >= (1 << 24):
         raise ValueError("record capacity exceeds exact-f32 index range")
 
@@ -79,6 +89,8 @@ def render_fast(
     )
     _, _, sf = rk.sort_with_payload(key, fields)
     counts_s = sf[12].astype(jnp.int32)
+    if stop_after == "sort1":
+        return sf[0], {"fields": sf}
 
     # ---- 2. duplicate-count prefix sum (Pallas; XLA 1-D cumsum is slow) --
     from openglgaussiansplattingrenderer_tpu.ops.pallas import scan as pscan
@@ -87,6 +99,8 @@ def render_fast(
     cum_excl_i = cum_incl_i - counts_s
     total_all = cum_incl_i[-1]
     total = jnp.minimum(total_all, capacity).astype(jnp.int32)
+    if stop_after == "cumsum":
+        return cum_incl_i, {"fields": sf}
 
     # ---- 3. expand to splat-major records (Pallas) -----------------------
     n_pad = rk.round_up(n + rk.IB, 128)
@@ -121,6 +135,8 @@ def render_fast(
     expand = rk.make_expand_op(capacity=capacity, gx=cfg.grid_x,
                                num_tiles=t, n_seg_pad=n_seg)
     rec_sm = expand(table, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
+    if stop_after == "expand":
+        return rec_sm, {}
 
     # ---- 4. stable sort records by tile: (tile, depth) order -------------
     tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
@@ -129,6 +145,8 @@ def render_fast(
 
     bounds = jnp.searchsorted(
         sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)
+    if stop_after == "sort2":
+        return sf2[0], {"fields": sf2, "bounds": bounds}
 
     # ---- 5. chunk-align per-tile ranges (Pallas) -------------------------
     counts_t = bounds[1:] - bounds[:-1]
@@ -170,9 +188,14 @@ def render_fast(
     nch_bwd = jnp.maximum(-(-(pos_end + 1 - src0_bwd) // rk.ICH), 0
                           ).astype(jnp.int32)
 
-    align = rk.make_align_op(c_sorted_pad, c_al, 16)
-    rec_aligned = align(rec_sorted, bounds2d, ab2d, cnt2d,
-                        src0_fwd, nch_fwd, src0_bwd, nch_bwd)
+    k_seg = rk.OB // cfg.chunk + 2
+    seg_out, seg_in, seg_cnt = rk.align_segments(bounds, ab, counts_t, c_al,
+                                                 t, k_seg)
+    align = rk.make_align_op(c_sorted_pad, c_al, 16, k_seg)
+    rec_aligned = align(rec_sorted, seg_out, seg_in, seg_cnt, bounds2d, ab2d,
+                        cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd)
+    if stop_after == "align":
+        return rec_aligned, {"ab": ab, "counts_t": counts_t}
 
     # ---- 6. fused composite ---------------------------------------------
     wp, hp = padded_dims(width, height, cfg)

@@ -213,13 +213,20 @@ def _fwd_kernel(ab_ref, cnt_ref, rec_hbm, out_ref, rec_buf, sem,
                 s_excl = trans * _cumprod_excl_lanes(one_m)
                 inc = s_excl > thresh
                 w = jnp.where(inc, alpha * s_excl, 0.0)
-                contrib = jnp.concatenate(
-                    [jnp.sum(w * rec[6 + ch:7 + ch, :], axis=1, keepdims=True)
-                     for ch in range(3)], axis=1)      # (pblk, 3)
-                out_ref[0, rows, 0:3] += contrib
-                m1 = jnp.where(inc, one_m, 1.0)
-                incl = _cumprod_excl_lanes(m1)[:, -1:] * m1[:, -1:]
-                out_ref[0, rows, 3:4] = trans * incl
+                # colour accumulation as one MXU matmul contracting lanes
+                # (exact enough at HIGHEST: replaces 3 VPU mul+lane-reduces)
+                out_ref[0, rows, 0:3] += jax.lax.dot_general(
+                    w, rec[6:9, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                # new transmittance = inclusive prefix at the last included
+                # lane; the prefix is non-increasing along lanes (factors in
+                # [0,1]) and ``inc`` is a prefix mask, so it's the masked min
+                # -- replaces a second log2(chunk)-step cumprod scan.
+                out_ref[0, rows, 3:4] = jnp.min(
+                    jnp.where(inc, s_excl * one_m, trans),
+                    axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, nch, body, None)
 
@@ -255,6 +262,11 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
             rec_hbm.at[:, pl.ds(off, chunk)],
             rec_buf.at[slot], sem.at[slot])
 
+    def dma_out(c, slot):
+        off = pl.multiple_of(start + c * chunk, 128)
+        return pltpu.make_async_copy(
+            dbuf.at[slot], drec_hbm.at[:, pl.ds(off, chunk)], osem.at[slot])
+
     @pl.when(nch > 0)
     def _():
         dma_in(0, 0).start()
@@ -267,6 +279,10 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
             dma_in(c + 1, 1 - slot).start()
 
         dma_in(c, slot).wait()
+        # drain the output DMA that used this dbuf slot two chunks ago
+        @pl.when(c >= 2)
+        def _():
+            dma_out(c - 2, slot).wait()
 
         rec = rec_buf[slot]                           # (NF, chunk)
         k = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
@@ -278,10 +294,10 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
         mxl = mx - ((t % gx) * pw).astype(jnp.float32)
         myl = my - ((t // gx) * ph).astype(jnp.float32)
 
-        dbuf[:, :] = jnp.zeros((NF, chunk), jnp.float32)
-
         # pixel-row blocks bound the (pblk, chunk) temps; per-record grads
-        # accumulate across blocks in dbuf
+        # accumulate across blocks in registers (the block loop is static),
+        # written to the dbuf slot once per chunk
+        acc = None
         for b in range(nblk):
             rows = slice(b * pblk, (b + 1) * pblk)
             px, py = _pixel_grid_block(t, b, gx, pw, ph, pb)
@@ -338,28 +354,38 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
 
             dxs = sx - mxl * s1                        # sum dpower*dx
             dys = sy - myl * s1
-            dbuf[0:1, :] += ca * dxs + cb * dys        # d mx
-            dbuf[1:2, :] += cc * dys + cb * dxs        # d my
-            dbuf[2:3, :] += -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s1)
-            dbuf[3:4, :] += -(sxy - mxl * sy - myl * sx + mxl * myl * s1)
-            dbuf[4:5, :] += -0.5 * (syy - 2.0 * myl * sy + myl * myl * s1)
-            # d opacity: sum dalpha*exp(power) = sum dpower / op (unclamped
-            # under the gate, where alpha == exp(power)*op exactly)
-            dbuf[5:6, :] += s1 / jnp.maximum(op, 1e-12)
-            dbuf[6:9, :] += mw[6:9, :]                 # d colour
-            # carry updates
-            m1 = jnp.where(inc, one_m, 1.0)
-            state[rows, 0:1] = trans * (_cumprod_excl_lanes(m1)[:, -1:] * m1[:, -1:])
-            state[rows, 1:2] = d_carry - jnp.sum(we, axis=1, keepdims=True)
+            grads = jnp.concatenate([
+                ca * dxs + cb * dys,                   # d mx
+                cc * dys + cb * dxs,                   # d my
+                -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s1),
+                -(sxy - mxl * sy - myl * sx + mxl * myl * s1),
+                -0.5 * (syy - 2.0 * myl * sy + myl * myl * s1),
+                # d opacity: sum dalpha*exp(power) = sum dpower / op
+                # (unclamped under the gate, where alpha == exp(power)*op)
+                s1 / jnp.maximum(op, 1e-12),
+                mw[6:9, :],                            # d colour
+            ], axis=0)                                 # (9, chunk)
+            acc = grads if acc is None else acc + grads
+            # carry updates: masked-min == prefix product at the last
+            # included lane (see forward kernel); v's tail is the we-sum
+            state[rows, 0:1] = jnp.min(
+                jnp.where(inc, s_excl * one_m, trans), axis=1, keepdims=True)
+            state[rows, 1:2] = d_carry - v[:, -1:]
 
-        out = pltpu.make_async_copy(
-            dbuf,
-            drec_hbm.at[:, pl.ds(pl.multiple_of(start + c * chunk, 128), chunk)],
-            osem)
-        out.start()
-        out.wait()
+        dbuf[slot] = jnp.concatenate(
+            [acc, jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
+        dma_out(c, slot).start()
 
     jax.lax.fori_loop(0, nch, body, None)
+    # drain the last (up to) two in-flight output DMAs before the grid
+    # advances and another tile's kernel reuses the semaphores
+    @pl.when(nch >= 2)
+    def _():
+        dma_out(nch - 2, jax.lax.rem(nch - 2, 2)).wait()
+
+    @pl.when(nch >= 1)
+    def _():
+        dma_out(nch - 1, jax.lax.rem(nch - 1, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -419,10 +445,10 @@ def _bwd_call(rec, ab, counts, out_res, g, *, num_tiles, chunk, pw, ph, gx, p,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),                # drec
         scratch_shapes=[
             pltpu.VMEM((2, NF, chunk), jnp.float32),
-            pltpu.VMEM((NF, chunk), jnp.float32),
+            pltpu.VMEM((2, NF, chunk), jnp.float32),
             pltpu.VMEM((p, 2), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -52,10 +52,12 @@ HIGH = jax.lax.Precision.HIGHEST
 NUM_FIELDS = 9
 TABLE_ROWS = 16
 
-OB = 512          # output records per expand/align grid step
-IB = 768          # input span per block: 128 (floor slack) + OB + 1, rounded
+OB = 512          # output records per expand/align sub-block
+IB = 768          # input span per sub-block: 128 (floor slack) + OB + 1, rounded
 SB = 512          # splats per segment-sum grid step
 ICH = 512         # record chunk per segment-sum inner step
+EXP_OUTER = 8     # expand sub-blocks per grid step (amortizes grid overhead)
+AL_OUTER = 8      # align sub-blocks per grid step
 
 
 def round_up(x: int, m: int) -> int:
@@ -130,60 +132,74 @@ sort_with_payload.defvjp(_swp_fwd, _swp_bwd)
 
 
 def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
-                   tbuf, sem, *, gx, num_tiles):
-    """One grid step emits records [r0, r0+OB).
+                   tbuf, sem, *, gx, num_tiles, outer):
+    """One grid step emits records [g*outer*OB, (g+1)*outer*OB) as ``outer``
+    pipelined OB-sized sub-blocks (amortizing per-grid-step overhead).
 
-    s0_ref[b]: 128-floored first splat whose span may intersect the block.
+    s0_ref[b]: 128-floored first splat whose span may intersect sub-block b.
     meta_ref[0]: total record count. Record r belongs to splat s iff
     cum_excl[s] <= r < cum_incl[s]; that predicate's one-hot (built in
     (out, in) orientation against the lane-resident cum rows) gathers all
-    splat rows in one exact MXU matmul.
+    splat rows in one exact MXU matmul. Sub-block table DMAs are
+    double-buffered: slot j%2 is only reused after its compute finished.
     """
-    b = pl.program_id(0)
-    r0 = b * OB
-    s0 = pl.multiple_of(s0_ref[b], 128)
+    g = pl.program_id(0)
     total = meta_ref[0]
 
-    in_dma = pltpu.make_async_copy(
-        table_ref.at[:, pl.ds(s0, IB)], tbuf, sem)
-    in_dma.start()
-    r_col = (r0 + jax.lax.broadcasted_iota(jnp.int32, (OB, 1), 0)).astype(jnp.float32)
-    r = (r0 + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)).astype(jnp.float32)
-    in_dma.wait()
+    def dma(j, slot):
+        s0 = pl.multiple_of(s0_ref[g * outer + j], 128)
+        return pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(s0, IB)], tbuf.at[slot], sem.at[slot])
 
-    excl = tbuf[12:13, :]                                 # (1, IB)
-    incl = tbuf[13:14, :]
-    onehot_t = jnp.where((excl <= r_col) & (r_col < incl), 1.0, 0.0)  # (OB, IB)
-    vals = _dot_rt(tbuf[:, :], onehot_t)                  # (TABLE_ROWS, OB)
+    dma(0, 0).start()
+    for j in range(outer):
+        slot = j % 2
+        if j + 1 < outer:
+            dma(j + 1, 1 - slot).start()
+        r0 = (g * outer + j) * OB
+        r_col = (r0 + jax.lax.broadcasted_iota(jnp.int32, (OB, 1), 0)
+                 ).astype(jnp.float32)
+        r = (r0 + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)
+             ).astype(jnp.float32)
+        dma(j, slot).wait()
 
-    j = r - vals[12:13, :]                                # r - cum_excl[s]
-    ext = jnp.maximum(vals[11:12, :], 1.0)
-    q = jnp.floor((j + 0.5) / ext)
-    tile = (vals[10:11, :] + q) * gx + vals[9:10, :] + (j - q * ext)
+        tb = tbuf[slot]
+        excl = tb[12:13, :]                               # (1, IB)
+        incl = tb[13:14, :]
+        onehot_t = jnp.where((excl <= r_col) & (r_col < incl), 1.0, 0.0)
+        vals = _dot_rt(tb[:, :], onehot_t)                # (TABLE_ROWS, OB)
 
-    valid = (r < total).astype(jnp.float32)
-    out_ref[0:NUM_FIELDS, :] = vals[0:NUM_FIELDS, :] * valid
-    out_ref[NUM_FIELDS:NUM_FIELDS + 1, :] = jnp.where(
-        valid > 0, tile, jnp.float32(num_tiles))
-    out_ref[NUM_FIELDS + 1:, :] = jnp.zeros(
-        (16 - NUM_FIELDS - 1, OB), jnp.float32)
+        joff = r - vals[12:13, :]                         # r - cum_excl[s]
+        ext = jnp.maximum(vals[11:12, :], 1.0)
+        q = jnp.floor((joff + 0.5) / ext)
+        tile = (vals[10:11, :] + q) * gx + vals[9:10, :] + (joff - q * ext)
+
+        valid = (r < total).astype(jnp.float32)
+        cols = slice(j * OB, (j + 1) * OB)
+        out_ref[0:NUM_FIELDS, cols] = vals[0:NUM_FIELDS, :] * valid
+        out_ref[NUM_FIELDS:NUM_FIELDS + 1, cols] = jnp.where(
+            valid > 0, tile, jnp.float32(num_tiles))
+        out_ref[NUM_FIELDS + 1:, cols] = jnp.zeros(
+            (16 - NUM_FIELDS - 1, OB), jnp.float32)
 
 
 def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles):
+    assert capacity % (OB * EXP_OUTER) == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(capacity // OB,),
+        grid=(capacity // (OB * EXP_OUTER),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # table (ROWS, Npad)
         ],
-        out_specs=pl.BlockSpec((16, OB), lambda b, s0, m: (0, b),
+        out_specs=pl.BlockSpec((16, OB * EXP_OUTER), lambda g, s0, m: (0, g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TABLE_ROWS, IB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TABLE_ROWS, IB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_expand_kernel, gx=gx, num_tiles=num_tiles)
+    kernel = functools.partial(_expand_kernel, gx=gx, num_tiles=num_tiles,
+                               outer=EXP_OUTER)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -363,34 +379,161 @@ def segment_gather(in_arr, outstart2d, instart2d, cnt2d, src0_arr, nch_arr,
     )(src0_arr, nch_arr, outstart2d, instart2d, cnt2d, in_arr)
 
 
-def make_align_op(c_sorted_pad: int, c_aligned: int, nf: int):
+def _align_fwd_kernel(so_ref, si_ref, sc_ref, src0_ref, nch_ref,
+                      in_ref, out_ref, ibuf, sem, *, nf, outer, k_seg,
+                      max_nch):
+    """Pipelined align forward: ``outer`` OB-sized sub-blocks per grid step.
+
+    Unlike the general ``_gather_kernel`` (whose per-block source map costs a
+    (T_pad, OB) segment one-hot -- 2048x512 compares at 1080p), the forward
+    align mapping intersects at most ``k_seg`` = OB/chunk + 2 NON-EMPTY tiles
+    per sub-block (every non-empty tile occupies >= chunk aligned slots), so
+    the source map is k_seg scalar-broadcast compares against prefetched
+    per-(sub-block, segment) triples (outstart, instart, count). The source
+    span per sub-block is <= OB + 129 so ``max_nch`` (= 2 at OB=ICH=512)
+    input chunks always cover it; DMAs are double-buffered along the static
+    flattened (sub-block, chunk) sequence.
+    """
+    g = pl.program_id(0)
+
+    def dma(b, c, slot):
+        src0 = pl.multiple_of(src0_ref[b], 128)
+        return pltpu.make_async_copy(
+            in_ref.at[:, pl.ds(src0 + c * ICH, ICH)], ibuf.at[slot],
+            sem.at[slot])
+
+    seq = [(j, c) for j in range(outer) for c in range(max_nch)]
+
+    def start(i):
+        j, c = seq[i]
+        b = g * outer + j
+
+        @pl.when(c < nch_ref[b])
+        def _():
+            dma(b, c, i % 2).start()
+
+    start(0)
+    out_ref[:, :] = jnp.zeros((nf, OB * outer), jnp.float32)
+    src_of = {}
+    for i, (j, c) in enumerate(seq):
+        if i + 1 < len(seq):
+            start(i + 1)
+        b = g * outer + j
+        if j not in src_of:
+            r = (b * OB + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)
+                 ).astype(jnp.float32)
+            src = jnp.full((1, OB), -1.0, jnp.float32)
+            for k in range(k_seg):
+                o = so_ref[b * k_seg + k].astype(jnp.float32)
+                s = si_ref[b * k_seg + k].astype(jnp.float32)
+                cnt = sc_ref[b * k_seg + k].astype(jnp.float32)
+                m = (o <= r) & (r < o + cnt)
+                src = jnp.where(m, s + (r - o), src)
+            src_of[j] = src
+        src = src_of[j]
+
+        @pl.when(c < nch_ref[b])
+        def _():
+            dma(b, c, i % 2).wait()
+            base = pl.multiple_of(src0_ref[b], 128)
+            iv = (base + c * ICH
+                  + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
+                  ).astype(jnp.float32)
+            onehot = jnp.where(iv == src, 1.0, 0.0)       # (ICH, OB)
+            out_ref[:, j * OB:(j + 1) * OB] += _dot(ibuf[i % 2], onehot)
+
+
+def align_segments(bounds: jnp.ndarray, ab: jnp.ndarray, counts: jnp.ndarray,
+                   c_aligned: int, num_tiles: int, k_seg: int):
+    """Per-sub-block segment triples for ``_align_fwd_kernel``.
+
+    Compacts non-empty tiles (their aligned ranges tile the aligned space
+    densely), then for each OB-sized output sub-block takes the k_seg
+    consecutive compacted tiles starting at the one containing the block's
+    first position. All T-sized arithmetic -- trivially cheap.
+    Returns flattened (nblocks*k_seg,) int32 (outstart, instart, count).
+    """
+    t = num_tiles
+    nonempty = counts > 0
+    order = jnp.argsort(jnp.where(nonempty, 0, 1).astype(jnp.int32),
+                        stable=True)
+    n_ne = jnp.sum(nonempty.astype(jnp.int32))
+    tail = jnp.arange(t, dtype=jnp.int32) >= n_ne
+    ab_c = jnp.where(tail, c_aligned, ab[:-1][order]).astype(jnp.int32)
+    bnd_c = jnp.where(tail, 0, bounds[:-1][order]).astype(jnp.int32)
+    cnt_c = jnp.where(tail, 0, counts[order]).astype(jnp.int32)
+    pad_o = jnp.full((k_seg,), c_aligned, jnp.int32)
+    pad_z = jnp.zeros((k_seg,), jnp.int32)
+    ab_cx = jnp.concatenate([ab_c, pad_o])
+    bnd_cx = jnp.concatenate([bnd_c, pad_z])
+    cnt_cx = jnp.concatenate([cnt_c, pad_z])
+
+    nblocks = c_aligned // OB
+    rb = jnp.arange(nblocks, dtype=jnp.int32) * OB
+    j0 = jnp.clip(jnp.searchsorted(ab_c, rb, side="right").astype(jnp.int32)
+                  - 1, 0, t - 1)
+    segs = (j0[:, None] + jnp.arange(k_seg, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+    return ab_cx[segs], bnd_cx[segs], cnt_cx[segs]
+
+
+def _align_fwd_call(rec, seg_out, seg_in, seg_cnt, src0_arr, nch_arr,
+                    c_aligned: int, nf: int, k_seg: int, max_nch: int = 2):
+    assert c_aligned % (OB * AL_OUTER) == 0
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(c_aligned // (OB * AL_OUTER),),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((nf, OB * AL_OUTER), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, nf, ICH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_align_fwd_kernel, nf=nf, outer=AL_OUTER,
+                               k_seg=k_seg, max_nch=max_nch)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nf, c_aligned), jnp.float32),
+        interpret=_interpret(),
+    )(seg_out, seg_in, seg_cnt, src0_arr, nch_arr, rec)
+
+
+def make_align_op(c_sorted_pad: int, c_aligned: int, nf: int, k_seg: int):
     """Differentiable chunk-alignment of sorted records.
 
-    op(rec (nf, c_sorted_pad), bounds2d, ab2d, cnt2d,
-       src0_fwd, nch_fwd, src0_bwd, nch_bwd) -> (nf, c_aligned).
-    Forward: output segments start at ab[t], reading from bounds[t];
-    backward: the same kernel with the tables swapped maps aligned
-    cotangents back onto sorted records (each lands exactly once).
+    op(rec (nf, c_sorted_pad), seg_out, seg_in, seg_cnt, bounds2d, ab2d,
+       cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd) -> (nf, c_aligned).
+    Forward: the pipelined k-segment kernel; backward: the general
+    ``segment_gather`` with the tables swapped maps aligned cotangents back
+    onto sorted records (each lands exactly once).
     """
 
     @jax.custom_vjp
-    def op(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd):
-        return segment_gather(rec, ab2d, bounds2d, cnt2d, src0_fwd, nch_fwd,
-                              c_aligned, nf)
+    def op(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
+           src0_fwd, nch_fwd, src0_bwd, nch_bwd):
+        return _align_fwd_call(rec, seg_out, seg_in, seg_cnt, src0_fwd,
+                               nch_fwd, c_aligned, nf, k_seg)
 
-    def fwd(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd):
-        out = op(rec, bounds2d, ab2d, cnt2d, src0_fwd, nch_fwd,
-                 src0_bwd, nch_bwd)
-        return out, (bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec.shape)
+    def fwd(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
+            src0_fwd, nch_fwd, src0_bwd, nch_bwd):
+        out = op(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
+                 src0_fwd, nch_fwd, src0_bwd, nch_bwd)
+        return out, (seg_out.shape, bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd,
+                     rec.shape)
 
     def bwd(res, g):
-        bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec_shape = res
+        seg_shape, bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec_shape = res
         g_pad = jnp.zeros((rec_shape[0], round_up(g.shape[1] + 2 * ICH, ICH)),
                           jnp.float32)
         g_pad = g_pad.at[:, 0:g.shape[1]].set(g)
         d_rec = segment_gather(g_pad, bounds2d, ab2d, cnt2d, src0_bwd,
                                nch_bwd, rec_shape[1], nf)
-        return (d_rec, jnp.zeros_like(bounds2d), jnp.zeros_like(ab2d),
+        f0_seg = np.zeros(seg_shape, jax.dtypes.float0)
+        return (d_rec, f0_seg, f0_seg, f0_seg,
+                jnp.zeros_like(bounds2d), jnp.zeros_like(ab2d),
                 jnp.zeros_like(cnt2d), _f0(src0_bwd), _f0(nch_bwd),
                 _f0(src0_bwd), _f0(nch_bwd))
 
