@@ -85,6 +85,40 @@ def main():
         leaf = jax.tree.leaves(x)[0]
         return float(leaf[(0,) * leaf.ndim])
 
+    # ---- on-device correctness gate (before any timing) ------------------
+    # The CI suite runs CPU/interpret-mode only; this asserts the *compiled*
+    # Pallas kernels on the bench device against the jnp oracle pipeline run
+    # on the SAME device, so a Mosaic miscompile can never ship through a
+    # bench. (The numpy golden oracle is not usable here: it implements the
+    # reference's packed tile+ndc_z sort key, whose depth quantization
+    # legitimately flips blend order of near-tie records vs the
+    # full-precision pair-key path -- config.depth_key docs. The CPU suite
+    # asserts pallas == jnp == golden in exact-order configs.)
+    import dataclasses
+
+    gw, gh = 512, 512
+    gcfg = RenderConfig.for_resolution(gw, gh, tile_px=32, use_pallas=True,
+                                       chunk=256, dup_capacity_factor=8.0,
+                                       max_per_tile=2048)
+    gscene = ply_io.make_synthetic_scene(10_000, seed=7, extent=2.5)
+    gparams = {k: jnp.asarray(v) for k, v in gscene.items() if k != "sh_rest"}
+    gcam = Camera(0.0, 0.0, -6.0, width=gw, height=gh)
+    ga = camera_args(gcam)
+    gargs = (gparams, jnp.asarray(ga["view"]), jnp.asarray(ga["vp"]),
+             jnp.float32(ga["focal_x"]), jnp.float32(ga["focal_y"]),
+             jnp.float32(ga["tan_fovx"]), jnp.float32(ga["tan_fovy"]))
+    gimg, _ = jax.jit(functools.partial(
+        render_arrays, width=gw, height=gh, cfg=gcfg))(*gargs)
+    jimg, jstats = jax.jit(functools.partial(
+        render_arrays, width=gw, height=gh,
+        cfg=dataclasses.replace(gcfg, use_pallas=False)))(*gargs)
+    assert int(jstats["dropped_by_cap"]) == 0, "gate scene exceeds oracle cap"
+    gate_diff = float(np.max(np.abs(np.asarray(gimg) - np.asarray(jimg))))
+    log(f"correctness gate: device pallas-vs-oracle max abs diff "
+        f"{gate_diff:.2e} (10k splats, {gw}x{gh})")
+    assert gate_diff <= 1e-3, (
+        f"on-device Pallas render diverges from oracle: {gate_diff:.2e}")
+
     t0 = time.time()
     img, stats = fwd(params)
     fence(img)

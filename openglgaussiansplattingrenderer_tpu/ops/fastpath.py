@@ -41,116 +41,44 @@ def _floor128(x):
     return (x // 128) * 128
 
 
-def render_fast(
-    params: Dict[str, jnp.ndarray],
-    view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
-    width: int, height: int, cfg: RenderConfig,
+def _pad_row(x, length):
+    out = jnp.zeros(length, x.dtype)
+    return out.at[0:x.shape[0]].set(x)
+
+
+def composite_sorted(
+    sf2: Tuple[jnp.ndarray, ...],
+    bounds: jnp.ndarray,
+    *,
+    capacity: int,
+    num_tiles: int,
+    tile_ids,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
     stop_after: str | None = None,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Fast differentiable render. Returns ((H, W, 4) image, stats).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stages 5-6 of the fast path: chunk-align (tile, depth)-sorted records
+    (Pallas segment gather) and run the fused Pallas compositor.
 
-    ``stop_after`` truncates the pipeline after a named stage and returns that
-    stage's outputs instead -- the hook ``scripts/profile_stages.py`` uses to
-    time each stage as a complete compiled program (prefix-timing): one of
-    "prep", "sort1", "cumsum", "expand", "sort2", "align".
+    Factored out of ``render_fast`` so the sharded path can run the same
+    Pallas kernels per device on its owned tile subset: ``sf2`` is the tuple
+    of 9 sorted field arrays (length ``capacity``), ``bounds`` the
+    (num_tiles+1,) per-tile record ranges over those rows, and ``tile_ids``
+    the *global* tile ids (length ``num_tiles``) whose pixel origins the
+    compositor should render -- ``arange(T)`` for the single-device path, the
+    chip's owned stripe under ``shard_map``.
+
+    Returns (tiled (num_tiles, p, 4) [rgb, transmittance], ab, counts_t).
     """
-    n = params["means"].shape[0]
-    cov6 = params.get("cov6")
-    if cov6 is None:
-        cov6 = build_covariance(params["scales"], params["quats"])
-    prep = projection.preprocess(
-        params["means"], cov6, params["opacities"], view, vp,
-        width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg)
-    from openglgaussiansplattingrenderer_tpu.render import effective_colors
-
-    colors = effective_colors(params, view, cfg)
-    if stop_after == "prep":
-        return prep["mean2d"], {"conic": prep["conic"], "colors": colors,
-                                "depth": prep["depth"]}
-
-    capacity = rk.round_up(cfg.capacity(n), rk.OB * rk.EXP_OUTER)
-    t = cfg.num_tiles
-    if cfg.chunk % 128 and not rk._interpret():
-        raise ValueError(f"fast path needs chunk % 128 == 0, got {cfg.chunk}")
-    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB * rk.AL_OUTER)
+    t = num_tiles
+    chunk = cfg.chunk
+    c_al = rk.round_up(capacity + t * chunk + rk.ICH, rk.OB * rk.AL_OUTER)
     if c_al >= (1 << 24):
         raise ValueError("record capacity exceeds exact-f32 index range")
 
-    # ---- 1. sort splats by depth (culled to the end) ---------------------
-    key = jnp.where(prep["valid"], prep["depth"], jnp.float32(jnp.inf))
-    fields = (
-        prep["mean2d"][:, 0], prep["mean2d"][:, 1],
-        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
-        prep["opacity"], colors[:, 0], colors[:, 1], colors[:, 2],
-        prep["tile_min"][:, 0].astype(jnp.float32),
-        prep["tile_min"][:, 1].astype(jnp.float32),
-        prep["tile_ext"][:, 0].astype(jnp.float32),
-        prep["counts"].astype(jnp.float32),
-    )
-    _, _, sf = rk.sort_with_payload(key, fields)
-    counts_s = sf[12].astype(jnp.int32)
-    if stop_after == "sort1":
-        return sf[0], {"fields": sf}
-
-    # ---- 2. duplicate-count prefix sum (Pallas; XLA 1-D cumsum is slow) --
-    from openglgaussiansplattingrenderer_tpu.ops.pallas import scan as pscan
-
-    cum_incl_i = pscan.cumsum(counts_s)
-    cum_excl_i = cum_incl_i - counts_s
-    total_all = cum_incl_i[-1]
-    total = jnp.minimum(total_all, capacity).astype(jnp.int32)
-    if stop_after == "cumsum":
-        return cum_incl_i, {"fields": sf}
-
-    # ---- 3. expand to splat-major records (Pallas) -----------------------
-    n_pad = rk.round_up(n + rk.IB, 128)
-    n_seg = rk.round_up(n, rk.SB)
-    cum_excl = cum_excl_i.astype(jnp.float32)
-    cum_incl = cum_incl_i.astype(jnp.float32)
-
-    def pad_row(x, length):
-        out = jnp.zeros(length, x.dtype)
-        return out.at[0:x.shape[0]].set(x)
-
-    zeros_row = jnp.zeros(n_pad, jnp.float32)
-    table = jnp.stack([pad_row(r, n_pad) for r in
-                       (sf[0], sf[1], sf[2], sf[3], sf[4], sf[5], sf[6],
-                        sf[7], sf[8], sf[9], sf[10], sf[11], cum_excl,
-                        cum_incl)] + [zeros_row, zeros_row], axis=0)
-    cum2_lanes = jnp.stack(
-        [pad_row(cum_excl, n_pad), pad_row(cum_incl, n_pad)]
-        + [zeros_row] * 6, axis=0)
-
-    r0s = jnp.arange(capacity // rk.OB, dtype=jnp.int32) * rk.OB
-    s0_arr = _floor128(jnp.searchsorted(cum_incl_i, r0s, side="right")
-                       .astype(jnp.int32))
-    meta = total[None]
-
-    n0s = jnp.arange(n_seg // rk.SB, dtype=jnp.int32) * rk.SB
-    a0_raw = cum_excl_i[jnp.minimum(n0s, n - 1)]
-    a0_arr = _floor128(jnp.minimum(a0_raw, total))
-    seg_end = jnp.minimum(cum_incl_i[jnp.minimum(n0s + rk.SB - 1, n - 1)], total)
-    nch_arr = jnp.maximum(-(-(seg_end - a0_arr) // rk.ICH), 0).astype(jnp.int32)
-
-    expand = rk.make_expand_op(capacity=capacity, gx=cfg.grid_x,
-                               num_tiles=t, n_seg_pad=n_seg)
-    rec_sm = expand(table, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
-    if stop_after == "expand":
-        return rec_sm, {}
-
-    # ---- 4. stable sort records by tile: (tile, depth) order -------------
-    tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
-    rec_fields = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS))
-    sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
-
-    bounds = jnp.searchsorted(
-        sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)
-    if stop_after == "sort2":
-        return sf2[0], {"fields": sf2, "bounds": bounds}
-
-    # ---- 5. chunk-align per-tile ranges (Pallas) -------------------------
     counts_t = bounds[1:] - bounds[:-1]
-    aligned = -(-counts_t // cfg.chunk) * cfg.chunk
+    aligned = -(-counts_t // chunk) * chunk
     ab = jnp.concatenate([jnp.zeros(1, jnp.int32),
                           jnp.cumsum(aligned)]).astype(jnp.int32)
 
@@ -161,7 +89,7 @@ def render_fast(
     t_pad = rk.round_up(t, 8)
 
     def table2d(x):
-        return pad_row(x.astype(jnp.float32), t_pad)[:, None]
+        return _pad_row(x.astype(jnp.float32), t_pad)[:, None]
 
     bounds2d, ab2d = table2d(bounds[:-1]), table2d(ab[:-1])
     cnt2d = table2d(counts_t)
@@ -188,22 +116,173 @@ def render_fast(
     nch_bwd = jnp.maximum(-(-(pos_end + 1 - src0_bwd) // rk.ICH), 0
                           ).astype(jnp.int32)
 
-    k_seg = rk.OB // cfg.chunk + 2
+    k_seg = rk.OB // chunk + 2
     seg_out, seg_in, seg_cnt = rk.align_segments(bounds, ab, counts_t, c_al,
                                                  t, k_seg)
     align = rk.make_align_op(c_sorted_pad, c_al, 16, k_seg)
     rec_aligned = align(rec_sorted, seg_out, seg_in, seg_cnt, bounds2d, ab2d,
                         cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd)
     if stop_after == "align":
-        return rec_aligned, {"ab": ab, "counts_t": counts_t}
+        return rec_aligned, ab, counts_t
 
-    # ---- 6. fused composite ---------------------------------------------
     wp, hp = padded_dims(width, height, cfg)
     pw, ph = wp // cfg.grid_x, hp // cfg.grid_y
-    op = pc._make_composite_op(t, cfg.chunk, pw, ph, cfg.grid_x, pw * ph,
+    op = pc._make_composite_op(t, chunk, pw, ph, pw * ph,
                                float(cfg.alpha_min), float(cfg.alpha_max),
                                float(1.0 - cfg.saturation))
-    tiled = op(rec_aligned, ab, counts_t)
+    ox, oy = pc.tile_origins(tile_ids, pw, ph, cfg.grid_x)
+    tiled = op(rec_aligned, ab, counts_t, ox, oy)
+    return tiled, ab, counts_t
+
+
+def expand_depth_records(
+    params: Dict[str, jnp.ndarray],
+    view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+    width: int, height: int, cfg: RenderConfig,
+    *,
+    with_depth: bool = False,
+    stop_after: str | None = None,
+):
+    """Stages 1-3 of the fast path: preprocess, depth sort of splats,
+    duplicate expansion to splat-major (= depth-ordered) records.
+
+    Returns ("ok", rec_sm (16, capacity), info) where rec_sm rows are the 9
+    record fields, row 9 the tile id (``num_tiles`` for invalid rows), and --
+    with ``with_depth`` -- row 10 the record's view depth (the sharded path's
+    owner-side merge key). ``info`` carries prep/total/total_all for stats.
+    With a stage-1..3 ``stop_after``, returns ("stop", obj, aux) matching
+    ``render_fast``'s profiling contract.
+    """
+    n = params["means"].shape[0]
+    cov6 = params.get("cov6")
+    if cov6 is None:
+        cov6 = build_covariance(params["scales"], params["quats"])
+    prep = projection.preprocess(
+        params["means"], cov6, params["opacities"], view, vp,
+        width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg)
+    from openglgaussiansplattingrenderer_tpu.render import effective_colors
+
+    colors = effective_colors(params, view, cfg)
+    if stop_after == "prep":
+        return "stop", prep["mean2d"], {"conic": prep["conic"],
+                                        "colors": colors,
+                                        "depth": prep["depth"]}
+
+    capacity = rk.round_up(cfg.capacity(n), rk.OB * rk.EXP_OUTER)
+    t = cfg.num_tiles
+    if cfg.chunk % 128 and not rk._interpret():
+        raise ValueError(f"fast path needs chunk % 128 == 0, got {cfg.chunk}")
+    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB * rk.AL_OUTER)
+    if c_al >= (1 << 24):
+        raise ValueError("record capacity exceeds exact-f32 index range")
+
+    # ---- 1. sort splats by depth (culled to the end) ---------------------
+    key = jnp.where(prep["valid"], prep["depth"], jnp.float32(jnp.inf))
+    fields = (
+        prep["mean2d"][:, 0], prep["mean2d"][:, 1],
+        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
+        prep["opacity"], colors[:, 0], colors[:, 1], colors[:, 2],
+        prep["tile_min"][:, 0].astype(jnp.float32),
+        prep["tile_min"][:, 1].astype(jnp.float32),
+        prep["tile_ext"][:, 0].astype(jnp.float32),
+        prep["counts"].astype(jnp.float32),
+    )
+    sk, _, sf = rk.sort_with_payload(key, fields)
+    counts_s = sf[12].astype(jnp.int32)
+    if stop_after == "sort1":
+        return "stop", sf[0], {"fields": sf}
+
+    # ---- 2. duplicate-count prefix sum (Pallas; XLA 1-D cumsum is slow) --
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import scan as pscan
+
+    cum_incl_i = pscan.cumsum(counts_s)
+    cum_excl_i = cum_incl_i - counts_s
+    total_all = cum_incl_i[-1]
+    total = jnp.minimum(total_all, capacity).astype(jnp.int32)
+    if stop_after == "cumsum":
+        return "stop", cum_incl_i, {"fields": sf}
+
+    # ---- 3. expand to splat-major records (Pallas) -----------------------
+    n_pad = rk.round_up(n + rk.IB, 128)
+    n_seg = rk.round_up(n, rk.SB)
+    cum_excl = cum_excl_i.astype(jnp.float32)
+    cum_incl = cum_incl_i.astype(jnp.float32)
+
+    zeros_row = jnp.zeros(n_pad, jnp.float32)
+    # table row 14 carries per-splat depth when the expand op forwards it
+    # (sort keys are stop-gradient; lax.stop_gradient keeps that explicit)
+    depth_row = (_pad_row(jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(sk), sk, 0.0)), n_pad)
+        if with_depth else zeros_row)
+    table = jnp.stack([_pad_row(r, n_pad) for r in
+                       (sf[0], sf[1], sf[2], sf[3], sf[4], sf[5], sf[6],
+                        sf[7], sf[8], sf[9], sf[10], sf[11], cum_excl,
+                        cum_incl)] + [depth_row, zeros_row], axis=0)
+    cum2_lanes = jnp.stack(
+        [_pad_row(cum_excl, n_pad), _pad_row(cum_incl, n_pad)]
+        + [zeros_row] * 6, axis=0)
+
+    r0s = jnp.arange(capacity // rk.OB, dtype=jnp.int32) * rk.OB
+    s0_arr = _floor128(jnp.searchsorted(cum_incl_i, r0s, side="right")
+                       .astype(jnp.int32))
+    meta = total[None]
+
+    n0s = jnp.arange(n_seg // rk.SB, dtype=jnp.int32) * rk.SB
+    a0_raw = cum_excl_i[jnp.minimum(n0s, n - 1)]
+    a0_arr = _floor128(jnp.minimum(a0_raw, total))
+    seg_end = jnp.minimum(cum_incl_i[jnp.minimum(n0s + rk.SB - 1, n - 1)], total)
+    nch_arr = jnp.maximum(-(-(seg_end - a0_arr) // rk.ICH), 0).astype(jnp.int32)
+
+    expand = rk.make_expand_op(capacity=capacity, gx=cfg.grid_x,
+                               num_tiles=t, n_seg_pad=n_seg,
+                               with_depth=with_depth)
+    rec_sm = expand(table, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
+    info = {"prep": prep, "total": total, "total_all": total_all}
+    if stop_after == "expand":
+        return "stop", rec_sm, {}
+    return "ok", rec_sm, info
+
+
+def render_fast(
+    params: Dict[str, jnp.ndarray],
+    view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+    width: int, height: int, cfg: RenderConfig,
+    stop_after: str | None = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fast differentiable render. Returns ((H, W, 4) image, stats).
+
+    ``stop_after`` truncates the pipeline after a named stage and returns that
+    stage's outputs instead -- the hook ``scripts/profile_stages.py`` uses to
+    time each stage as a complete compiled program (prefix-timing): one of
+    "prep", "sort1", "cumsum", "expand", "sort2", "align".
+    """
+    tag, rec_sm, info = expand_depth_records(
+        params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+        width, height, cfg, stop_after=stop_after)
+    if tag == "stop":
+        return rec_sm, info
+    prep, total, total_all = info["prep"], info["total"], info["total_all"]
+    n = params["means"].shape[0]
+    capacity = rec_sm.shape[1]
+    t = cfg.num_tiles
+
+    # ---- 4. stable sort records by tile: (tile, depth) order -------------
+    tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
+    rec_fields = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS))
+    sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+
+    bounds = jnp.searchsorted(
+        sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)
+    if stop_after == "sort2":
+        return sf2[0], {"fields": sf2, "bounds": bounds}
+
+    # ---- 5+6. chunk-align + fused composite (Pallas) ---------------------
+    tiled, ab, counts_t = composite_sorted(
+        sf2, bounds, capacity=capacity, num_tiles=t,
+        tile_ids=jnp.arange(t, dtype=jnp.int32), width=width, height=height,
+        cfg=cfg, stop_after=stop_after)
+    if stop_after == "align":
+        return tiled, {"ab": ab, "counts_t": counts_t}
     image = assemble_image(tiled[:, :, 0:3], tiled[:, :, 3], width, height, cfg)
 
     num_visible = jnp.sum(prep["valid"])

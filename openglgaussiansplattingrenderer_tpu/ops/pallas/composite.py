@@ -135,12 +135,17 @@ def pack_records(records: Dict[str, jnp.ndarray], src: jnp.ndarray,
     return jnp.concatenate([fields, pad], axis=0)
 
 
-def _pixel_grid_block(t, b, gx, pw, ph, pb):
-    """Pixel-centre coordinates of pixel-row block b (pb rows) of tile t,
-    as (pw*pb, 1) columns, row-major (y outer)."""
+def _pixel_grid_block(ox, oy, b, pw, pb):
+    """Pixel-centre coordinates of pixel-row block b (pb rows) of the tile
+    with pixel origin (ox, oy), as (pw*pb, 1) columns, row-major (y outer).
+
+    Origins arrive as per-tile scalar-prefetch tables rather than being
+    derived from the grid index, so a sharded chip can composite a
+    non-contiguous (round-robin) subset of global tiles with the same
+    kernel."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (pw * pb, 1), 0)
-    px = ((t % gx) * pw + idx % pw).astype(jnp.float32)
-    py = ((t // gx) * ph + b * pb + idx // pw).astype(jnp.float32)
+    px = (ox + idx % pw).astype(jnp.float32)
+    py = (oy + b * pb + idx // pw).astype(jnp.float32)
     return px, py
 
 
@@ -159,11 +164,12 @@ def _pick_pixel_block(pw: int, ph: int, chunk: int, budget: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(ab_ref, cnt_ref, rec_hbm, out_ref, rec_buf, sem,
-                *, chunk, pw, ph, gx, p, pb, alpha_min, alpha_max, thresh):
+def _fwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
+                sem, *, chunk, pw, ph, p, pb, alpha_min, alpha_max, thresh):
     t = pl.program_id(0)
     start = ab_ref[t]
     n = cnt_ref[t]
+    ox, oy = ox_ref[t], oy_ref[t]
     nch = pl.cdiv(n, chunk)
     nblk = ph // pb
     pblk = pw * pb
@@ -199,7 +205,7 @@ def _fwd_kernel(ab_ref, cnt_ref, rec_hbm, out_ref, rec_buf, sem,
             # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
             for b in range(nblk):
                 rows = slice(b * pblk, (b + 1) * pblk)
-                px, py = _pixel_grid_block(t, b, gx, pw, ph, pb)
+                px, py = _pixel_grid_block(ox, oy, b, pw, pb)
                 trans = out_ref[0, rows, 3:4]         # (pblk, 1)
                 dx = px - rec[0:1, :]                 # (pblk, chunk)
                 dy = py - rec[1:2, :]
@@ -236,9 +242,9 @@ def _fwd_kernel(ab_ref, cnt_ref, rec_hbm, out_ref, rec_buf, sem,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
-                rec_buf, dbuf, state, sem, osem,
-                *, chunk, pw, ph, gx, p, pb, alpha_min, alpha_max, thresh):
+def _bwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
+                drec_hbm, rec_buf, dbuf, state, sem, osem,
+                *, chunk, pw, ph, p, pb, alpha_min, alpha_max, thresh):
     """Forward-walk backward pass for one tile.
 
     state: VMEM (p, 2) scratch -- col 0 = running transmittance, col 1 = D,
@@ -248,6 +254,7 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
     t = pl.program_id(0)
     start = ab_ref[t]
     n = cnt_ref[t]
+    ox, oy = ox_ref[t], oy_ref[t]
     nch = pl.cdiv(n, chunk)
     nblk = ph // pb
     pblk = pw * pb
@@ -284,6 +291,21 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
         def _():
             dma_out(c - 2, slot).wait()
 
+        # chunk-level early exit, mirroring the forward kernel: once every
+        # pixel is saturated the include mask is all-false, so the remaining
+        # chunks' gradients are exactly zero -- write zeros, skip compute
+        active = jnp.max(state[:, 0:1]) > thresh
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            dbuf[slot] = jnp.zeros((NF, chunk), jnp.float32)
+
+        @pl.when(active)
+        def _():
+            _bwd_chunk(c, slot)
+        dma_out(c, slot).start()
+
+    def _bwd_chunk(c, slot):
         rec = rec_buf[slot]                           # (NF, chunk)
         k = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
         in_range = k < n
@@ -291,8 +313,8 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
         ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
         op = rec[5:6, :]
         # tile-local record centres keep the moment algebra numerically small
-        mxl = mx - ((t % gx) * pw).astype(jnp.float32)
-        myl = my - ((t // gx) * ph).astype(jnp.float32)
+        mxl = mx - ox.astype(jnp.float32)
+        myl = my - oy.astype(jnp.float32)
 
         # pixel-row blocks bound the (pblk, chunk) temps; per-record grads
         # accumulate across blocks in registers (the block loop is static),
@@ -300,7 +322,7 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
         acc = None
         for b in range(nblk):
             rows = slice(b * pblk, (b + 1) * pblk)
-            px, py = _pixel_grid_block(t, b, gx, pw, ph, pb)
+            px, py = _pixel_grid_block(ox, oy, b, pw, pb)
             g_rgb = g_ref[0, rows, 0:3]               # (pblk, 3)
             g_t = g_ref[0, rows, 3:4]
             t_fin = out_res_ref[0, rows, 3:4]
@@ -336,8 +358,8 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
             # geometric grads from basis moments of dpower (tile-local
             # coordinates: px_l <= tile size so the expansions stay exact),
             # colour grads + the D-carry decrement from [g_rgb | ones] x w.
-            pxl = px - ((t % gx) * pw).astype(jnp.float32)  # (pblk, 1)
-            pyl = py - ((t // gx) * ph).astype(jnp.float32)
+            pxl = px - ox.astype(jnp.float32)          # (pblk, 1)
+            pyl = py - oy.astype(jnp.float32)
             ones = jnp.ones((pblk, 1), jnp.float32)
             basis = jnp.concatenate(
                 [ones, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
@@ -374,7 +396,6 @@ def _bwd_kernel(ab_ref, cnt_ref, rec_hbm, out_res_ref, g_ref, drec_hbm,
 
         dbuf[slot] = jnp.concatenate(
             [acc, jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
-        dma_out(c, slot).start()
 
     jax.lax.fori_loop(0, nch, body, None)
     # drain the last (up to) two in-flight output DMAs before the grid
@@ -401,17 +422,17 @@ FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
 BWD_TEMP_BUDGET = 131_072
 
 
-def _fwd_call(rec, ab, counts, *, num_tiles, chunk, pw, ph, gx, p,
+def _fwd_call(rec, ab, counts, ox, oy, *, num_tiles, chunk, pw, ph, p,
               alpha_min, alpha_max, thresh):
     pb = _pick_pixel_block(pw, ph, chunk, FWD_TEMP_BUDGET)
     kernel = functools.partial(
-        _fwd_kernel, chunk=chunk, pw=pw, ph=ph, gx=gx, p=p, pb=pb,
+        _fwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, p, 4), lambda t, ab, cnt: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NF, chunk), jnp.float32),
@@ -423,23 +444,23 @@ def _fwd_call(rec, ab, counts, *, num_tiles, chunk, pw, ph, gx, p,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
         interpret=_interpret(),
-    )(ab, counts, rec)
+    )(ab, counts, ox, oy, rec)
 
 
-def _bwd_call(rec, ab, counts, out_res, g, *, num_tiles, chunk, pw, ph, gx, p,
-              alpha_min, alpha_max, thresh):
+def _bwd_call(rec, ab, counts, ox, oy, out_res, g, *, num_tiles, chunk, pw,
+              ph, p, alpha_min, alpha_max, thresh):
     pb = _pick_pixel_block(pw, ph, chunk, BWD_TEMP_BUDGET)
     kernel = functools.partial(
-        _bwd_kernel, chunk=chunk, pw=pw, ph=ph, gx=gx, p=p, pb=pb,
+        _bwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),                      # rec
-            pl.BlockSpec((1, p, 4), lambda t, ab, cnt: (t, 0, 0),
+            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),                     # out res
-            pl.BlockSpec((1, p, 4), lambda t, ab, cnt: (t, 0, 0),
+            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),                     # g
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),                # drec
@@ -456,35 +477,43 @@ def _bwd_call(rec, ab, counts, out_res, g, *, num_tiles, chunk, pw, ph, gx, p,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(rec.shape, jnp.float32),
         interpret=_interpret(),
-    )(ab, counts, rec, out_res, g)
+    )(ab, counts, ox, oy, rec, out_res, g)
 
 
 @functools.lru_cache(maxsize=64)
-def _make_composite_op(num_tiles, chunk, pw, ph, gx, p, alpha_min, alpha_max,
+def _make_composite_op(num_tiles, chunk, pw, ph, p, alpha_min, alpha_max,
                        thresh):
-    static = dict(num_tiles=num_tiles, chunk=chunk, pw=pw, ph=ph, gx=gx, p=p,
+    static = dict(num_tiles=num_tiles, chunk=chunk, pw=pw, ph=ph, p=p,
                   alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
 
     @jax.custom_vjp
-    def op(rec, ab, counts):
-        return _fwd_call(rec, ab, counts, **static)
+    def op(rec, ab, counts, ox, oy):
+        return _fwd_call(rec, ab, counts, ox, oy, **static)
 
-    def fwd(rec, ab, counts):
-        out = _fwd_call(rec, ab, counts, **static)
-        return out, (rec, ab, counts, out)
+    def fwd(rec, ab, counts, ox, oy):
+        out = _fwd_call(rec, ab, counts, ox, oy, **static)
+        return out, (rec, ab, counts, ox, oy, out)
 
     def bwd(res, g):
-        rec, ab, counts, out = res
-        drec = _bwd_call(rec, ab, counts, out, g, **static)
+        rec, ab, counts, ox, oy, out = res
+        drec = _bwd_call(rec, ab, counts, ox, oy, out, g, **static)
         # Columns past the aligned end are never touched by any tile's DMA ->
         # uninitialized memory; zero them before they meet the gather VJP.
         col = jnp.arange(rec.shape[1], dtype=jnp.int32)
         drec = jnp.where((col < ab[-1])[None, :], drec, 0.0)
         f0 = jax.dtypes.float0
-        return (drec, np.zeros(ab.shape, f0), np.zeros(counts.shape, f0))
+        return (drec, np.zeros(ab.shape, f0), np.zeros(counts.shape, f0),
+                np.zeros(ox.shape, f0), np.zeros(oy.shape, f0))
 
     op.defvjp(fwd, bwd)
     return op
+
+
+def tile_origins(tile_ids, pw: int, ph: int, gx: int):
+    """Per-tile pixel origins (ox, oy) int32 arrays for a set of global tile
+    ids -- the scalar-prefetch tables the kernels index by grid step."""
+    tile_ids = jnp.asarray(tile_ids, jnp.int32)
+    return (tile_ids % gx) * pw, (tile_ids // gx) * ph
 
 
 def composite(
@@ -509,10 +538,12 @@ def composite(
     src, valid, ab, counts = align_bounds(tile_bounds, chunk, capacity, cfg.num_tiles)
     rec = pack_records(records, src, valid)
 
-    op = _make_composite_op(cfg.num_tiles, chunk, pw, ph, cfg.grid_x, p,
+    ox, oy = tile_origins(jnp.arange(cfg.num_tiles, dtype=jnp.int32), pw, ph,
+                          cfg.grid_x)
+    op = _make_composite_op(cfg.num_tiles, chunk, pw, ph, p,
                             float(cfg.alpha_min), float(cfg.alpha_max),
                             float(1.0 - cfg.saturation))
-    tiled = op(rec, ab, counts)                       # (T, p, 4)
+    tiled = op(rec, ab, counts, ox, oy)               # (T, p, 4)
 
     rgb = tiled[:, :, 0:3]                            # (T, p, 3)
     trans = tiled[:, :, 3]                            # (T, p)

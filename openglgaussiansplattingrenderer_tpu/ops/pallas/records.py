@@ -47,7 +47,9 @@ HIGH = jax.lax.Precision.HIGHEST
 
 # splat-table rows (transposed layout (ROWS, Npad)):
 #  0 mx  1 my  2 A  3 B  4 C  5 op  6 r  7 g  8 b
-#  9 tmin_x  10 tmin_y  11 ext_x  12 cum_excl  13 cum_incl  14-15 pad
+#  9 tmin_x  10 tmin_y  11 ext_x  12 cum_excl  13 cum_incl
+#  14 depth (only when the expand op is built with_depth, for the sharded
+#  path's owner-side merge sort)  15 pad
 # (16 rows: Mosaic requires sublane slice sizes aligned to 8)
 NUM_FIELDS = 9
 TABLE_ROWS = 16
@@ -126,13 +128,45 @@ def _swp_bwd(res, g):
 sort_with_payload.defvjp(_swp_fwd, _swp_bwd)
 
 
+@jax.custom_vjp
+def sort_multi_with_payload(keys: Tuple[jnp.ndarray, ...],
+                            fields: Tuple[jnp.ndarray, ...]):
+    """Stable lexicographic sort by the key tuple; payload semantics and the
+    re-sort backward exactly as ``sort_with_payload``. Used by the sharded
+    fast path's owner-side (tile, depth) merge of exchanged records."""
+    nk = len(keys)
+    idx = jnp.arange(keys[0].shape[0], dtype=jnp.int32)
+    out = jax.lax.sort(tuple(keys) + (idx,) + tuple(fields), num_keys=nk,
+                       is_stable=True)
+    return out[0:nk], out[nk], tuple(out[nk + 1:])
+
+
+def _smp_fwd(keys, fields):
+    sk, si, sf = sort_multi_with_payload(keys, fields)
+    return (sk, si, sf), (si, tuple(jnp.zeros((0,), k.dtype) for k in keys))
+
+
+def _smp_bwd(res, g):
+    si, key_protos = res
+    _, _, g_fields = g
+    unsorted = jax.lax.sort((si,) + tuple(g_fields), num_keys=1,
+                            is_stable=True)
+    d_keys = tuple(
+        jnp.zeros(si.shape, p.dtype) if jnp.issubdtype(p.dtype, jnp.floating)
+        else _f0(si) for p in key_protos)
+    return (d_keys, tuple(unsorted[1:]))
+
+
+sort_multi_with_payload.defvjp(_smp_fwd, _smp_bwd)
+
+
 # ---------------------------------------------------------------------------
 # expand kernel: depth-sorted splat table -> splat-major records
 # ---------------------------------------------------------------------------
 
 
 def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
-                   tbuf, sem, *, gx, num_tiles, outer):
+                   tbuf, sem, *, gx, num_tiles, outer, with_depth):
     """One grid step emits records [g*outer*OB, (g+1)*outer*OB) as ``outer``
     pipelined OB-sized sub-blocks (amortizing per-grid-step overhead).
 
@@ -179,11 +213,18 @@ def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
         out_ref[0:NUM_FIELDS, cols] = vals[0:NUM_FIELDS, :] * valid
         out_ref[NUM_FIELDS:NUM_FIELDS + 1, cols] = jnp.where(
             valid > 0, tile, jnp.float32(num_tiles))
-        out_ref[NUM_FIELDS + 1:, cols] = jnp.zeros(
-            (16 - NUM_FIELDS - 1, OB), jnp.float32)
+        if with_depth:
+            out_ref[NUM_FIELDS + 1:NUM_FIELDS + 2, cols] = (
+                vals[14:15, :] * valid)
+            out_ref[NUM_FIELDS + 2:, cols] = jnp.zeros(
+                (16 - NUM_FIELDS - 2, OB), jnp.float32)
+        else:
+            out_ref[NUM_FIELDS + 1:, cols] = jnp.zeros(
+                (16 - NUM_FIELDS - 1, OB), jnp.float32)
 
 
-def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles):
+def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles,
+                 with_depth=False):
     assert capacity % (OB * EXP_OUTER) == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -199,7 +240,7 @@ def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles):
         ],
     )
     kernel = functools.partial(_expand_kernel, gx=gx, num_tiles=num_tiles,
-                               outer=EXP_OUTER)
+                               outer=EXP_OUTER, with_depth=with_depth)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -269,18 +310,23 @@ def _segsum_call(drec_padded, cum2_lanes, a0_arr, nch_arr, *, n_seg_pad):
     )(a0_arr, nch_arr, drec_padded, cum2_lanes)
 
 
-def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int):
+def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int,
+                   with_depth: bool = False):
     """Differentiable duplicate expansion.
 
     op(table_t (TABLE_ROWS, Npad), cum2_lanes (8, Npad), s0_arr, meta,
-       a0_arr, nch_arr) -> (16, capacity) records [9 fields, tile, zeros]
-       in splat-major (depth) order.
+       a0_arr, nch_arr) -> (16, capacity) records [9 fields, tile,
+       depth-if-requested, zeros] in splat-major (depth) order. With
+       ``with_depth`` the table's row 14 must hold per-splat depth; it rides
+       along for the sharded path's owner-side merge sort (no gradient --
+       sort keys are stop-gradient, as in ``sort_with_payload``).
     """
 
     @jax.custom_vjp
     def op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
         return _expand_call(table_t, s0_arr, meta,
-                            capacity=capacity, gx=gx, num_tiles=num_tiles)
+                            capacity=capacity, gx=gx, num_tiles=num_tiles,
+                            with_depth=with_depth)
 
     def fwd(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
         out = op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)

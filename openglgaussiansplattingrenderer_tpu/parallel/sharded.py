@@ -37,12 +37,17 @@ try:  # jax >= 0.6 promoted shard_map
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: Pallas calls inside the body can't declare their
+        # outputs' varying-mesh-axes, so the static replication checker must
+        # be off for the fast sharded path (outputs are all P(axis) anyway).
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _legacy_shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _legacy_shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return _legacy_shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_rep=False)
 
 from openglgaussiansplattingrenderer_tpu.config import RenderConfig
 from openglgaussiansplattingrenderer_tpu.ops import binning, projection

@@ -1,0 +1,110 @@
+"""Sharded FAST path (Pallas kernels under shard_map + ragged all-to-all)
+on the virtual CPU mesh.
+
+The round-2 scaling design: per-chip sort work is O(C/D) and the production
+Pallas kernels (expand, align, fused composite) run inside shard_map. The
+gate: sharded render and gradients must equal the single-device fast path
+exactly (same record order per tile -> same FP operations).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.ops.fastpath import render_fast
+from openglgaussiansplattingrenderer_tpu.parallel import fast_sharded
+from openglgaussiansplattingrenderer_tpu.render import camera_args
+
+CFG = RenderConfig(chunk=32, dup_capacity_factor=16.0)
+W = H = 64
+
+
+def _setup(n, seed=3):
+    scene = ply_io.make_synthetic_scene(n, seed=seed, extent=1.5)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cam = Camera(0.0, 0.0, -4.0, width=W, height=H)
+    args = camera_args(cam)
+    return params, args
+
+
+def _single_fast(params, args):
+    return render_fast(
+        params, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+        args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"],
+        W, H, CFG)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_fast_sharded_render_matches_single(ndev):
+    params, args = _setup(96)
+    mesh = fast_sharded.make_mesh(ndev)
+    # 96 splats produce far fewer records than any bucket: zero drops
+    img_s, stats = fast_sharded.render_fast_sharded(
+        params, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+        args["tan_fovx"], args["tan_fovy"], W, H, CFG, mesh)
+    img_1, stats_1 = _single_fast(params, args)
+    assert int(stats["overflow"]) == 0
+    assert int(stats["num_records"]) == int(stats_1["num_records"])
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                               atol=1e-5)
+
+
+def test_fast_sharded_grads_match_single():
+    params, args = _setup(64, seed=9)
+    mesh = fast_sharded.make_mesh(8)
+    target = jnp.full((H, W, 3), 0.15)
+
+    def loss_sharded(p):
+        img, _ = fast_sharded.render_fast_sharded(
+            p, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+            args["tan_fovx"], args["tan_fovy"], W, H, CFG, mesh)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    def loss_single(p):
+        img, _ = _single_fast(p, args)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    # shard_map transpose requires jit (eager-mode shard_map AD is limited)
+    g_s = jax.jit(jax.grad(loss_sharded))(params)
+    g_1 = jax.grad(loss_single)(params)
+    for k in g_1:
+        np.testing.assert_allclose(
+            np.asarray(g_s[k]), np.asarray(g_1[k]), rtol=1e-4, atol=1e-7,
+            err_msg=f"sharded fast-path gradient mismatch for {k}")
+
+
+def test_train_step_fast_sharded():
+    import optax
+
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        params_from_raw,
+        raw_from_params,
+    )
+
+    params, args = _setup(32, seed=5)
+    mesh = fast_sharded.make_mesh(8)
+    raw = fast_sharded.shard_params(raw_from_params(params), mesh)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(raw)
+
+    import functools
+
+    step = jax.jit(functools.partial(
+        fast_sharded.train_step_fast_sharded, width=W, height=H, cfg=CFG,
+        mesh=mesh, optimizer=optimizer))
+    raw2, opt_state, loss = step(
+        raw, opt_state, target, jnp.asarray(args["view"]),
+        jnp.asarray(args["vp"]), jnp.float32(args["focal_x"]),
+        jnp.float32(args["focal_y"]), jnp.float32(args["tan_fovx"]),
+        jnp.float32(args["tan_fovy"]))
+    assert np.isfinite(float(loss))
+    p2 = params_from_raw(raw2)
+    for k, v in p2.items():
+        assert bool(jnp.all(jnp.isfinite(v))), k
+    qn = jnp.linalg.norm(p2["quats"], axis=-1)
+    assert bool(jnp.all(jnp.abs(qn - 1.0) < 1e-5))

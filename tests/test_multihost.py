@@ -1,0 +1,74 @@
+"""Two-process multi-host smoke test (CPU backend, localhost coordinator).
+
+BASELINE.md configs 4/5 need a process-spanning mesh; hardware is not
+available here, so this test validates the complete multi-process code path
+the day it is: ``jax.distributed.initialize`` over localhost, a global mesh
+spanning 2 processes x 2 virtual devices, host-local scene loading, and the
+sharded fast-path render producing the same image as a single process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_render_matches_single(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # append, not replace: this machine's sitecustomize rides PYTHONPATH
+    env["PYTHONPATH"] = repo + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for rank in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    assert (tmp_path / "ok0").exists() and (tmp_path / "ok1").exists()
+
+    img_mh = np.load(tmp_path / "mh_img.npy")
+
+    # single-process reference
+    import jax.numpy as jnp
+
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.ops.fastpath import render_fast
+    from openglgaussiansplattingrenderer_tpu.render import camera_args
+
+    cfg = RenderConfig(chunk=32, dup_capacity_factor=16.0)
+    scene = ply_io.make_synthetic_scene(64, seed=11, extent=1.5)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cam = Camera(0.0, 0.0, -4.0, width=64, height=64)
+    args = camera_args(cam)
+    img_1, _ = render_fast(
+        params, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+        args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"],
+        64, 64, cfg)
+    np.testing.assert_allclose(img_mh, np.asarray(img_1), atol=1e-5)
