@@ -7,11 +7,11 @@ Replaces the XLA gather/searchsorted-based path (kept in ``render.py`` /
 
   preprocess (jnp elementwise)
     -> sort splats by depth, fields as payloads        [lax.sort, N]
-    -> cumsum duplicate counts                          [jnp, N]
+    -> cumsum duplicate counts                          [Pallas, N]
     -> expand duplicates (Pallas, MXU one-hot gather)   [C]
     -> stable sort by tile, fields as payloads          [lax.sort, C]
-    -> chunk-align per-tile ranges (Pallas gather)      [C_al]
-    -> fused composite fwd/bwd (Pallas)                 [tiles]
+    -> fused composite fwd/bwd straight off the sorted
+       layout (Pallas; floor-128 DMA starts + masks)    [tiles]
 
 Everything is differentiable: the sorts re-sort cotangents, the Pallas ops
 carry custom VJPs (segment-sum / reverse gather), preprocess is plain jnp.
@@ -56,10 +56,9 @@ def composite_sorted(
     width: int,
     height: int,
     cfg: RenderConfig,
-    stop_after: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Stages 5-6 of the fast path: chunk-align (tile, depth)-sorted records
-    (Pallas segment gather) and run the fused Pallas compositor.
+    """Final fast-path stage: the fused Pallas compositor over
+    (tile, depth)-sorted records.
 
     Factored out of ``render_fast`` so the sharded path can run the same
     Pallas kernels per device on its owned tile subset: ``sf2`` is the tuple
@@ -69,61 +68,21 @@ def composite_sorted(
     compositor should render -- ``arange(T)`` for the single-device path, the
     chip's owned stripe under ``shard_map``.
 
-    Returns (tiled (num_tiles, p, 4) [rgb, transmittance], ab, counts_t).
+    The compositor consumes the sorted layout directly (floor-128 DMA starts
+    + in-kernel range masks; its backward read-modify-writes the one shared
+    boundary block per tile), so no chunk-aligned copy of the record stream
+    exists any more.
+
+    Returns (tiled (num_tiles, p, 4) [rgb, transmittance], bounds, counts_t).
     """
     t = num_tiles
     chunk = cfg.chunk
-    c_al = rk.round_up(capacity + t * chunk + rk.ICH, rk.OB * rk.AL_OUTER)
-    if c_al >= (1 << 24):
-        raise ValueError("record capacity exceeds exact-f32 index range")
-
     counts_t = bounds[1:] - bounds[:-1]
-    aligned = -(-counts_t // chunk) * chunk
-    ab = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                          jnp.cumsum(aligned)]).astype(jnp.int32)
 
-    c_sorted_pad = rk.round_up(capacity + 2 * rk.ICH, 128)
-    rec_sorted = jnp.zeros((16, c_sorted_pad), jnp.float32)
+    # pad >= chunk zero columns past the last record for the tail DMA
+    c_pad = rk.round_up(capacity + 2 * chunk, 128)
+    rec_sorted = jnp.zeros((pc.NF, c_pad), jnp.float32)
     rec_sorted = rec_sorted.at[0:rk.NUM_FIELDS, 0:capacity].set(jnp.stack(sf2))
-
-    t_pad = rk.round_up(t, 8)
-
-    def table2d(x):
-        return _pad_row(x.astype(jnp.float32), t_pad)[:, None]
-
-    bounds2d, ab2d = table2d(bounds[:-1]), table2d(ab[:-1])
-    cnt2d = table2d(counts_t)
-
-    # forward: per aligned-block source start + chunk count
-    ra = jnp.arange(c_al // rk.OB, dtype=jnp.int32) * rk.OB
-    t_of_a = jnp.clip(jnp.searchsorted(ab, ra, side="right").astype(jnp.int32) - 1,
-                      0, t - 1)
-    src_f = jnp.clip(bounds[:-1][t_of_a] + (ra - ab[:-1][t_of_a]), 0, capacity)
-    src0_fwd = _floor128(src_f)
-    src_f_end = jnp.concatenate([src_f[1:], jnp.minimum(
-        src_f[-1] + rk.OB, capacity)[None]])
-    nch_fwd = jnp.maximum(-(-(src_f_end + 1 - src0_fwd) // rk.ICH), 0
-                          ).astype(jnp.int32)
-
-    # backward: per sorted-block source start in aligned space
-    rs = jnp.arange(c_sorted_pad // rk.OB, dtype=jnp.int32) * rk.OB
-    t_of_s = jnp.clip(jnp.searchsorted(bounds, rs, side="right").astype(jnp.int32) - 1,
-                      0, t - 1)
-    pos_s = jnp.clip(ab[:-1][t_of_s] + (rs - bounds[:-1][t_of_s]), 0, c_al - 1)
-    src0_bwd = _floor128(pos_s)
-    pos_end = jnp.concatenate([pos_s[1:], jnp.minimum(
-        pos_s[-1] + rk.OB, c_al)[None]])
-    nch_bwd = jnp.maximum(-(-(pos_end + 1 - src0_bwd) // rk.ICH), 0
-                          ).astype(jnp.int32)
-
-    k_seg = rk.OB // chunk + 2
-    seg_out, seg_in, seg_cnt = rk.align_segments(bounds, ab, counts_t, c_al,
-                                                 t, k_seg)
-    align = rk.make_align_op(c_sorted_pad, c_al, 16, k_seg)
-    rec_aligned = align(rec_sorted, seg_out, seg_in, seg_cnt, bounds2d, ab2d,
-                        cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd)
-    if stop_after == "align":
-        return rec_aligned, ab, counts_t
 
     wp, hp = padded_dims(width, height, cfg)
     pw, ph = wp // cfg.grid_x, hp // cfg.grid_y
@@ -131,8 +90,8 @@ def composite_sorted(
                                float(cfg.alpha_min), float(cfg.alpha_max),
                                float(1.0 - cfg.saturation))
     ox, oy = pc.tile_origins(tile_ids, pw, ph, cfg.grid_x)
-    tiled = op(rec_aligned, ab, counts_t, ox, oy)
-    return tiled, ab, counts_t
+    tiled = op(rec_sorted, bounds, ox, oy)
+    return tiled, bounds, counts_t
 
 
 def expand_depth_records(
@@ -172,8 +131,7 @@ def expand_depth_records(
     t = cfg.num_tiles
     if cfg.chunk % 128 and not rk._interpret():
         raise ValueError(f"fast path needs chunk % 128 == 0, got {cfg.chunk}")
-    c_al = rk.round_up(capacity + t * cfg.chunk + rk.ICH, rk.OB * rk.AL_OUTER)
-    if c_al >= (1 << 24):
+    if capacity + 2 * cfg.chunk >= (1 << 24):
         raise ValueError("record capacity exceeds exact-f32 index range")
 
     # ---- 1. sort splats by depth (culled to the end) ---------------------
@@ -254,7 +212,7 @@ def render_fast(
     ``stop_after`` truncates the pipeline after a named stage and returns that
     stage's outputs instead -- the hook ``scripts/profile_stages.py`` uses to
     time each stage as a complete compiled program (prefix-timing): one of
-    "prep", "sort1", "cumsum", "expand", "sort2", "align".
+    "prep", "sort1", "cumsum", "expand", "sort2".
     """
     tag, rec_sm, info = expand_depth_records(
         params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
@@ -276,13 +234,11 @@ def render_fast(
     if stop_after == "sort2":
         return sf2[0], {"fields": sf2, "bounds": bounds}
 
-    # ---- 5+6. chunk-align + fused composite (Pallas) ---------------------
-    tiled, ab, counts_t = composite_sorted(
+    # ---- 5. fused composite straight off the sorted layout (Pallas) ------
+    tiled, _, counts_t = composite_sorted(
         sf2, bounds, capacity=capacity, num_tiles=t,
         tile_ids=jnp.arange(t, dtype=jnp.int32), width=width, height=height,
-        cfg=cfg, stop_after=stop_after)
-    if stop_after == "align":
-        return tiled, {"ab": ab, "counts_t": counts_t}
+        cfg=cfg)
     image = assemble_image(tiled[:, :, 0:3], tiled[:, :, 3], width, height, cfg)
 
     num_visible = jnp.sum(prep["valid"])
@@ -296,6 +252,5 @@ def render_fast(
         "max_bin": jnp.max(counts_t),
         "mean_bin": jnp.mean(counts_t.astype(jnp.float32)),
         "binned_records": bounds[-1],
-        "aligned_records": ab[-1],
     }
     return image, stats

@@ -12,11 +12,13 @@ exact, because the include mask would zero them anyway).
 
 Layout choices (TPU/Mosaic):
 - records are packed *transposed* (NF, C) float32 [mx; my; A; B; C; op; r; g;
-  b; pad] so a chunk DMA slices the lane axis at chunk-aligned offsets
-  (Mosaic requires lane slices aligned to 128; per-tile ranges are
-  chunk-aligned by ``align_bounds``, which also keeps chunk DMAs inside their
-  own tile's region -- no cross-grid-step hazards, and backward stores stay
-  in-region);
+  b; pad] and consumed straight from the (tile, depth)-sorted layout: each
+  tile's chunk DMAs start at floor128(bounds[t]) (Mosaic requires lane
+  slices aligned to 128) and lanes outside [bounds[t], bounds[t+1]) are
+  masked out of the blend. The backward writes cotangents into the same
+  layout; the single 128-lane block a tile can share with its predecessors
+  is read-modify-written (grid steps run in order and drain their output
+  DMAs, so the predecessor's values are already in HBM);
 - compute is (P, chunk): tile pixels on sublanes, chunk records on lanes;
   record fields broadcast as (1, chunk) rows against (P, 1) pixel columns;
 - the transmittance prefix is an explicit Hillis-Steele shift-add scan along
@@ -53,6 +55,10 @@ from openglgaussiansplattingrenderer_tpu.ops.compositing import assemble_image, 
 NF = 16  # packed record fields (7 pad floats keep the sublane dim 8-aligned x2)
 
 
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum along axis 1 (lanes) via Hillis-Steele shift-adds.
 
@@ -85,54 +91,31 @@ def _cumprod_excl_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def align_bounds(bounds: jnp.ndarray, chunk: int, capacity: int,
-                 num_tiles: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Re-map sorted record rows into a chunk-aligned per-tile layout.
+def pack_records(records: Dict[str, jnp.ndarray], c_pad: int) -> jnp.ndarray:
+    """Pack sorted record fields into the transposed (NF, c_pad) array the
+    kernels stream, zero-padded past the record count (the tail DMA may read
+    up to ``chunk`` columns beyond the last tile's range).
 
-    Returns (src_index (C_al,), valid (C_al,), aligned_bounds (T+1,),
-    counts (T,)); row r of the aligned layout reads from sorted row
-    ``src_index[r]`` when valid. C_al = capacity + num_tiles*chunk is the
-    static worst case (every tile padded by one partial chunk).
+    Differentiable: a plain stack -- its transpose routes cotangents back to
+    the field arrays unchanged.
     """
-    counts = bounds[1:] - bounds[:-1]
-    aligned = -(-counts // chunk) * chunk
-    ab = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)]).astype(jnp.int32)
-    c_al = capacity + num_tiles * chunk
-    r = jnp.arange(c_al, dtype=jnp.int32)
-    t_of = jnp.clip(jnp.searchsorted(ab, r, side="right").astype(jnp.int32) - 1,
-                    0, num_tiles - 1)
-    off = r - ab[t_of]
-    valid = (off < counts[t_of]) & (r < ab[-1])
-    src = jnp.clip(bounds[:-1][t_of] + off, 0, capacity - 1)
-    return src, valid, ab, counts
-
-
-def pack_records(records: Dict[str, jnp.ndarray], src: jnp.ndarray,
-                 valid: jnp.ndarray) -> jnp.ndarray:
-    """Gather sorted record fields into the aligned transposed (NF, C_al)
-    packed array.
-
-    Differentiable: the transpose of this gather is the segment-sum of
-    aligned-record gradients back onto sorted records (and from there onto
-    splats). Invalid rows are zeroed -- opacity 0 makes them no-ops.
-    """
-    v = valid.astype(jnp.float32)[None, :]
+    c = records["mean2d"].shape[0]
     fields = jnp.stack(
         [
-            records["mean2d"][src, 0],   # 0 mx
-            records["mean2d"][src, 1],   # 1 my
-            records["conic"][src, 0],    # 2 A
-            records["conic"][src, 1],    # 3 B
-            records["conic"][src, 2],    # 4 C
-            records["opacity"][src],     # 5 op
-            records["color"][src, 0],    # 6 r
-            records["color"][src, 1],    # 7 g
-            records["color"][src, 2],    # 8 b
+            records["mean2d"][:, 0],   # 0 mx
+            records["mean2d"][:, 1],   # 1 my
+            records["conic"][:, 0],    # 2 A
+            records["conic"][:, 1],    # 3 B
+            records["conic"][:, 2],    # 4 C
+            records["opacity"],        # 5 op
+            records["color"][:, 0],    # 6 r
+            records["color"][:, 1],    # 7 g
+            records["color"][:, 2],    # 8 b
         ],
         axis=0,
-    ) * v
-    pad = jnp.zeros((NF - fields.shape[0], fields.shape[1]), jnp.float32)
-    return jnp.concatenate([fields, pad], axis=0)
+    )
+    out = jnp.zeros((NF, round_up(c_pad, 128)), jnp.float32)
+    return out.at[0:fields.shape[0], 0:c].set(fields)
 
 
 def _pixel_grid_block(ox, oy, b, pw, pb):
@@ -164,11 +147,18 @@ def _pick_pixel_block(pw: int, ph: int, chunk: int, budget: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
+def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
                 sem, *, chunk, pw, ph, p, pb, alpha_min, alpha_max, thresh):
     t = pl.program_id(0)
-    start = ab_ref[t]
-    n = cnt_ref[t]
+    b0 = bnd_ref[t]
+    b1 = bnd_ref[t + 1]
+    # Records are consumed straight from the (tile, depth)-sorted layout --
+    # no chunk-aligned copy exists. DMA offsets must be 128-aligned (chunk
+    # is a multiple of 128 on hardware), so the tile's stream starts at
+    # floor_chunk(b0) and lanes outside [b0, b1) are masked out of the blend
+    # (they belong to neighbouring tiles).
+    start = (b0 // chunk) * chunk
+    n = b1 - start
     ox, oy = ox_ref[t], oy_ref[t]
     nch = pl.cdiv(n, chunk)
     nblk = ph // pb
@@ -200,8 +190,9 @@ def _fwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
         @pl.when(jnp.max(out_ref[0, :, 3:4]) > thresh)
         def _():
             rec = rec_buf[slot]                       # (NF, chunk)
-            k = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
-            in_range = k < n
+            k = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+                 + (start + c * chunk))
+            in_range = (k >= b0) & (k < b1)
             # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
             for b in range(nblk):
                 rows = slice(b * pblk, (b + 1) * pblk)
@@ -242,18 +233,29 @@ def _fwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
-                drec_hbm, rec_buf, dbuf, state, sem, osem,
+def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
+                drec_hbm, rec_buf, dbuf, state, rmw_buf, sem, osem, rsem,
                 *, chunk, pw, ph, p, pb, alpha_min, alpha_max, thresh):
     """Forward-walk backward pass for one tile.
 
     state: VMEM (p, 2) scratch -- col 0 = running transmittance, col 1 = D,
     the pixel-wise dot of g_rgb with the *remaining* (suffix) colour sum,
     initialised to g . R_total and decremented chunk by chunk.
+
+    Cotangents are written straight into the sorted-record layout. A tile's
+    first chunk can be shared with its predecessors' records (the stream
+    starts at floor_chunk(b0)); grid steps execute in order and every step
+    drains its output DMAs before returning, so the kernel
+    read-modify-writes that first chunk: lanes < b0 keep the values already
+    in HBM, lanes >= b0 take this tile's gradients. Lanes past b1 in the
+    last chunk are written as zeros -- they belong to *later* tiles, which
+    restore them the same way.
     """
     t = pl.program_id(0)
-    start = ab_ref[t]
-    n = cnt_ref[t]
+    b0 = bnd_ref[t]
+    b1 = bnd_ref[t + 1]
+    start = (b0 // chunk) * chunk
+    n = b1 - start
     ox, oy = ox_ref[t], oy_ref[t]
     nch = pl.cdiv(n, chunk)
     nblk = ph // pb
@@ -274,9 +276,18 @@ def _bwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         return pltpu.make_async_copy(
             dbuf.at[slot], drec_hbm.at[:, pl.ds(off, chunk)], osem.at[slot])
 
+    def dma_rmw():
+        off = pl.multiple_of(start, 128)
+        return pltpu.make_async_copy(
+            drec_hbm.at[:, pl.ds(off, chunk)], rmw_buf, rsem)
+
     @pl.when(nch > 0)
     def _():
         dma_in(0, 0).start()
+
+        @pl.when(b0 > start)
+        def _():
+            dma_rmw().start()
 
     def body(c, _):
         slot = jax.lax.rem(c, 2)
@@ -303,12 +314,21 @@ def _bwd_kernel(ab_ref, cnt_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         @pl.when(active)
         def _():
             _bwd_chunk(c, slot)
+
+        # first chunk: restore predecessors' lanes in the shared chunk
+        @pl.when((c == 0) & (b0 > start))
+        def _():
+            dma_rmw().wait()
+            lane = start + jax.lax.broadcasted_iota(jnp.int32, (NF, chunk), 1)
+            dbuf[slot] = jnp.where(lane < b0, rmw_buf[:, :], dbuf[slot])
+
         dma_out(c, slot).start()
 
     def _bwd_chunk(c, slot):
         rec = rec_buf[slot]                           # (NF, chunk)
-        k = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c * chunk
-        in_range = k < n
+        k = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+             + (start + c * chunk))
+        in_range = (k >= b0) & (k < b1)
         mx, my = rec[0:1, :], rec[1:2, :]
         ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
         op = rec[5:6, :]
@@ -422,14 +442,14 @@ FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
 BWD_TEMP_BUDGET = 131_072
 
 
-def _fwd_call(rec, ab, counts, ox, oy, *, num_tiles, chunk, pw, ph, p,
+def _fwd_call(rec, bounds, ox, oy, *, num_tiles, chunk, pw, ph, p,
               alpha_min, alpha_max, thresh):
     pb = _pick_pixel_block(pw, ph, chunk, FWD_TEMP_BUDGET)
     kernel = functools.partial(
         _fwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0),
@@ -444,17 +464,17 @@ def _fwd_call(rec, ab, counts, ox, oy, *, num_tiles, chunk, pw, ph, p,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
         interpret=_interpret(),
-    )(ab, counts, ox, oy, rec)
+    )(bounds, ox, oy, rec)
 
 
-def _bwd_call(rec, ab, counts, ox, oy, out_res, g, *, num_tiles, chunk, pw,
+def _bwd_call(rec, bounds, ox, oy, out_res, g, *, num_tiles, chunk, pw,
               ph, p, alpha_min, alpha_max, thresh):
     pb = _pick_pixel_block(pw, ph, chunk, BWD_TEMP_BUDGET)
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),                      # rec
@@ -468,8 +488,10 @@ def _bwd_call(rec, ab, counts, ox, oy, out_res, g, *, num_tiles, chunk, pw,
             pltpu.VMEM((2, NF, chunk), jnp.float32),
             pltpu.VMEM((2, NF, chunk), jnp.float32),
             pltpu.VMEM((p, 2), jnp.float32),
+            pltpu.VMEM((NF, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
@@ -477,32 +499,39 @@ def _bwd_call(rec, ab, counts, ox, oy, out_res, g, *, num_tiles, chunk, pw,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(rec.shape, jnp.float32),
         interpret=_interpret(),
-    )(ab, counts, ox, oy, rec, out_res, g)
+    )(bounds, ox, oy, rec, out_res, g)
 
 
 @functools.lru_cache(maxsize=64)
 def _make_composite_op(num_tiles, chunk, pw, ph, p, alpha_min, alpha_max,
                        thresh):
+    """Fused compositor over (tile, depth)-sorted records.
+
+    op(rec (NF, C_pad), bounds (T+1,), ox (T,), oy (T,)) -> (T, p, 4).
+    ``rec`` is the sorted packed record array; per-tile ranges come straight
+    from ``bounds`` (no chunk-aligned copy). ``C_pad`` must extend at least
+    ``chunk`` columns past ``bounds[-1]`` (zero fill) for the tail DMA.
+    """
     static = dict(num_tiles=num_tiles, chunk=chunk, pw=pw, ph=ph, p=p,
                   alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)
 
     @jax.custom_vjp
-    def op(rec, ab, counts, ox, oy):
-        return _fwd_call(rec, ab, counts, ox, oy, **static)
+    def op(rec, bounds, ox, oy):
+        return _fwd_call(rec, bounds, ox, oy, **static)
 
-    def fwd(rec, ab, counts, ox, oy):
-        out = _fwd_call(rec, ab, counts, ox, oy, **static)
-        return out, (rec, ab, counts, ox, oy, out)
+    def fwd(rec, bounds, ox, oy):
+        out = _fwd_call(rec, bounds, ox, oy, **static)
+        return out, (rec, bounds, ox, oy, out)
 
     def bwd(res, g):
-        rec, ab, counts, ox, oy, out = res
-        drec = _bwd_call(rec, ab, counts, ox, oy, out, g, **static)
-        # Columns past the aligned end are never touched by any tile's DMA ->
-        # uninitialized memory; zero them before they meet the gather VJP.
+        rec, bounds, ox, oy, out = res
+        drec = _bwd_call(rec, bounds, ox, oy, out, g, **static)
+        # Columns past the last record are never written by any tile's DMA
+        # -> uninitialized memory; zero them before they meet upstream VJPs.
         col = jnp.arange(rec.shape[1], dtype=jnp.int32)
-        drec = jnp.where((col < ab[-1])[None, :], drec, 0.0)
+        drec = jnp.where((col < bounds[-1])[None, :], drec, 0.0)
         f0 = jax.dtypes.float0
-        return (drec, np.zeros(ab.shape, f0), np.zeros(counts.shape, f0),
+        return (drec, np.zeros(bounds.shape, f0),
                 np.zeros(ox.shape, f0), np.zeros(oy.shape, f0))
 
     op.defvjp(fwd, bwd)
@@ -535,18 +564,17 @@ def composite(
     if chunk % 128 and not _interpret():
         raise ValueError(f"Pallas compositor needs chunk % 128 == 0, got {chunk}")
 
-    src, valid, ab, counts = align_bounds(tile_bounds, chunk, capacity, cfg.num_tiles)
-    rec = pack_records(records, src, valid)
+    rec = pack_records(records, capacity + 2 * chunk)
 
     ox, oy = tile_origins(jnp.arange(cfg.num_tiles, dtype=jnp.int32), pw, ph,
                           cfg.grid_x)
     op = _make_composite_op(cfg.num_tiles, chunk, pw, ph, p,
                             float(cfg.alpha_min), float(cfg.alpha_max),
                             float(1.0 - cfg.saturation))
-    tiled = op(rec, ab, counts, ox, oy)               # (T, p, 4)
+    tiled = op(rec, tile_bounds.astype(jnp.int32), ox, oy)  # (T, p, 4)
 
     rgb = tiled[:, :, 0:3]                            # (T, p, 3)
     trans = tiled[:, :, 3]                            # (T, p)
     image = assemble_image(rgb, trans, width, height, cfg)
-    aux = {"aligned_records": ab[-1], "final_transmittance": trans}
+    aux = {"final_transmittance": trans}
     return image, aux

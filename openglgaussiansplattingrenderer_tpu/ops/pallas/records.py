@@ -15,15 +15,14 @@ actually good at -- payload sorts and MXU matmuls:
   3. stable sort records by tile id, fields as payloads: because step 1
      ordered splats by depth, tile-stable order == (tile, depth) order --
      the reference's packed key sort (preprocess.glsl:154) with the depth
-     ordering hoisted to the cheaper N-sized sort
-  4. align per-tile ranges to chunk boundaries for the compositor: another
-     monotone gather, same Pallas kernel, driven by the tiny (T+1) tables
+     ordering hoisted to the cheaper N-sized sort. The compositor consumes
+     this sorted layout directly (floor-128 DMA starts + range masks in
+     ``pallas/composite.py``), so no alignment copy follows.
 
 Backward: sorts un-sort by carrying the source index and re-sorting the
 cotangents (a sort is its own transpose engine); the expand's transpose is a
-per-splat segment-sum, again a one-hot MXU matmul over contiguous spans; the
-align's transpose is the same monotone-gather kernel with its two tables
-swapped. Gradient identity for duplicated splats (SURVEY.md hard part #5)
+per-splat segment-sum, again a one-hot MXU matmul over contiguous spans.
+Gradient identity for duplicated splats (SURVEY.md hard part #5)
 holds exactly: every record lands in exactly one segment-sum.
 
 Mosaic layout rules obeyed throughout: bulk data lives fields-as-rows (F, C)
@@ -59,7 +58,6 @@ IB = 768          # input span per sub-block: 128 (floor slack) + OB + 1, rounde
 SB = 512          # splats per segment-sum grid step
 ICH = 512         # record chunk per segment-sum inner step
 EXP_OUTER = 8     # expand sub-blocks per grid step (amortizes grid overhead)
-AL_OUTER = 8      # align sub-blocks per grid step
 
 
 def round_up(x: int, m: int) -> int:
@@ -349,239 +347,3 @@ def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int,
     return op
 
 
-# ---------------------------------------------------------------------------
-# monotone segment gather (align fwd and its transpose)
-# ---------------------------------------------------------------------------
-
-
-def _gather_kernel(src0_ref, nch_ref, outstart_ref, instart_ref, cnt_ref,
-                   in_ref, out_ref, ibuf, sem, *, nf):
-    """out[:, r] = in[:, instart[t] + (r - outstart[t])] where t is the
-    output-space segment containing r; masked by r - outstart[t] < cnt[t].
-
-    The segment tables are (t_pad, 1) sublane-oriented and sit whole in VMEM.
-    src is monotone in r; the block's source span [src0, src0 + nch*ICH) is
-    streamed chunk by chunk (nch is 1-2 for dense forward mappings, larger
-    when segments in the input are padded apart, e.g. the align transpose),
-    each chunk contributing through an exact one-hot matmul.
-    """
-    b = pl.program_id(0)
-    r0 = b * OB
-    src0 = pl.multiple_of(src0_ref[b], 128)
-    nch = nch_ref[b]
-
-    r = (r0 + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)).astype(jnp.float32)
-    outs = outstart_ref[:, 0:1]                           # (t_pad, 1)
-    ins = instart_ref[:, 0:1]
-    cnt = cnt_ref[:, 0:1]
-    seg = jnp.where((outs <= r) & (r < outs + cnt), 1.0, 0.0)  # (t_pad, OB)
-    in_of = jnp.sum(ins * seg, axis=0, keepdims=True)     # (1, OB)
-    out_of = jnp.sum(outs * seg, axis=0, keepdims=True)
-    valid = jnp.sum(seg, axis=0, keepdims=True)
-    src = jnp.where(valid > 0, in_of + (r - out_of), -1.0)  # (1, OB) global
-
-    out_ref[:, :] = jnp.zeros((nf, OB), jnp.float32)
-
-    def body(c, _):
-        dma = pltpu.make_async_copy(
-            in_ref.at[:, pl.ds(src0 + c * ICH, ICH)], ibuf, sem)
-        dma.start()
-        i = (src0 + c * ICH
-             + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
-             ).astype(jnp.float32)
-        onehot = jnp.where(i == src, 1.0, 0.0)            # (ICH, OB)
-        dma.wait()
-        out_ref[:, :] += _dot(ibuf[:, :], onehot)
-
-    jax.lax.fori_loop(0, nch, body, None)
-
-
-def segment_gather(in_arr, outstart2d, instart2d, cnt2d, src0_arr, nch_arr,
-                   out_len: int, nf: int):
-    """Monotone segmented gather; see ``_gather_kernel``. in_arr must be
-    padded so every [src0, src0 + nch*ICH) span is in range."""
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(out_len // OB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # outstart (t_pad, 1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # instart
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cnt
-            pl.BlockSpec(memory_space=pltpu.HBM),    # in (nf, in_len)
-        ],
-        out_specs=pl.BlockSpec((nf, OB), lambda b, s, n: (0, b),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((nf, ICH), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(_gather_kernel, nf=nf)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nf, out_len), jnp.float32),
-        interpret=_interpret(),
-    )(src0_arr, nch_arr, outstart2d, instart2d, cnt2d, in_arr)
-
-
-def _align_fwd_kernel(so_ref, si_ref, sc_ref, src0_ref, nch_ref,
-                      in_ref, out_ref, ibuf, sem, *, nf, outer, k_seg,
-                      max_nch):
-    """Pipelined align forward: ``outer`` OB-sized sub-blocks per grid step.
-
-    Unlike the general ``_gather_kernel`` (whose per-block source map costs a
-    (T_pad, OB) segment one-hot -- 2048x512 compares at 1080p), the forward
-    align mapping intersects at most ``k_seg`` = OB/chunk + 2 NON-EMPTY tiles
-    per sub-block (every non-empty tile occupies >= chunk aligned slots), so
-    the source map is k_seg scalar-broadcast compares against prefetched
-    per-(sub-block, segment) triples (outstart, instart, count). The source
-    span per sub-block is <= OB + 129 so ``max_nch`` (= 2 at OB=ICH=512)
-    input chunks always cover it; DMAs are double-buffered along the static
-    flattened (sub-block, chunk) sequence.
-    """
-    g = pl.program_id(0)
-
-    def dma(b, c, slot):
-        src0 = pl.multiple_of(src0_ref[b], 128)
-        return pltpu.make_async_copy(
-            in_ref.at[:, pl.ds(src0 + c * ICH, ICH)], ibuf.at[slot],
-            sem.at[slot])
-
-    seq = [(j, c) for j in range(outer) for c in range(max_nch)]
-
-    def start(i):
-        j, c = seq[i]
-        b = g * outer + j
-
-        @pl.when(c < nch_ref[b])
-        def _():
-            dma(b, c, i % 2).start()
-
-    start(0)
-    out_ref[:, :] = jnp.zeros((nf, OB * outer), jnp.float32)
-    src_of = {}
-    for i, (j, c) in enumerate(seq):
-        if i + 1 < len(seq):
-            start(i + 1)
-        b = g * outer + j
-        if j not in src_of:
-            r = (b * OB + jax.lax.broadcasted_iota(jnp.int32, (1, OB), 1)
-                 ).astype(jnp.float32)
-            src = jnp.full((1, OB), -1.0, jnp.float32)
-            for k in range(k_seg):
-                o = so_ref[b * k_seg + k].astype(jnp.float32)
-                s = si_ref[b * k_seg + k].astype(jnp.float32)
-                cnt = sc_ref[b * k_seg + k].astype(jnp.float32)
-                m = (o <= r) & (r < o + cnt)
-                src = jnp.where(m, s + (r - o), src)
-            src_of[j] = src
-        src = src_of[j]
-
-        @pl.when(c < nch_ref[b])
-        def _():
-            dma(b, c, i % 2).wait()
-            base = pl.multiple_of(src0_ref[b], 128)
-            iv = (base + c * ICH
-                  + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
-                  ).astype(jnp.float32)
-            onehot = jnp.where(iv == src, 1.0, 0.0)       # (ICH, OB)
-            out_ref[:, j * OB:(j + 1) * OB] += _dot(ibuf[i % 2], onehot)
-
-
-def align_segments(bounds: jnp.ndarray, ab: jnp.ndarray, counts: jnp.ndarray,
-                   c_aligned: int, num_tiles: int, k_seg: int):
-    """Per-sub-block segment triples for ``_align_fwd_kernel``.
-
-    Compacts non-empty tiles (their aligned ranges tile the aligned space
-    densely), then for each OB-sized output sub-block takes the k_seg
-    consecutive compacted tiles starting at the one containing the block's
-    first position. All T-sized arithmetic -- trivially cheap.
-    Returns flattened (nblocks*k_seg,) int32 (outstart, instart, count).
-    """
-    t = num_tiles
-    nonempty = counts > 0
-    order = jnp.argsort(jnp.where(nonempty, 0, 1).astype(jnp.int32),
-                        stable=True)
-    n_ne = jnp.sum(nonempty.astype(jnp.int32))
-    tail = jnp.arange(t, dtype=jnp.int32) >= n_ne
-    ab_c = jnp.where(tail, c_aligned, ab[:-1][order]).astype(jnp.int32)
-    bnd_c = jnp.where(tail, 0, bounds[:-1][order]).astype(jnp.int32)
-    cnt_c = jnp.where(tail, 0, counts[order]).astype(jnp.int32)
-    pad_o = jnp.full((k_seg,), c_aligned, jnp.int32)
-    pad_z = jnp.zeros((k_seg,), jnp.int32)
-    ab_cx = jnp.concatenate([ab_c, pad_o])
-    bnd_cx = jnp.concatenate([bnd_c, pad_z])
-    cnt_cx = jnp.concatenate([cnt_c, pad_z])
-
-    nblocks = c_aligned // OB
-    rb = jnp.arange(nblocks, dtype=jnp.int32) * OB
-    j0 = jnp.clip(jnp.searchsorted(ab_c, rb, side="right").astype(jnp.int32)
-                  - 1, 0, t - 1)
-    segs = (j0[:, None] + jnp.arange(k_seg, dtype=jnp.int32)[None, :]
-            ).reshape(-1)
-    return ab_cx[segs], bnd_cx[segs], cnt_cx[segs]
-
-
-def _align_fwd_call(rec, seg_out, seg_in, seg_cnt, src0_arr, nch_arr,
-                    c_aligned: int, nf: int, k_seg: int, max_nch: int = 2):
-    assert c_aligned % (OB * AL_OUTER) == 0
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(c_aligned // (OB * AL_OUTER),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((nf, OB * AL_OUTER), lambda g, *_: (0, g),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, nf, ICH), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_align_fwd_kernel, nf=nf, outer=AL_OUTER,
-                               k_seg=k_seg, max_nch=max_nch)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nf, c_aligned), jnp.float32),
-        interpret=_interpret(),
-    )(seg_out, seg_in, seg_cnt, src0_arr, nch_arr, rec)
-
-
-def make_align_op(c_sorted_pad: int, c_aligned: int, nf: int, k_seg: int):
-    """Differentiable chunk-alignment of sorted records.
-
-    op(rec (nf, c_sorted_pad), seg_out, seg_in, seg_cnt, bounds2d, ab2d,
-       cnt2d, src0_fwd, nch_fwd, src0_bwd, nch_bwd) -> (nf, c_aligned).
-    Forward: the pipelined k-segment kernel; backward: the general
-    ``segment_gather`` with the tables swapped maps aligned cotangents back
-    onto sorted records (each lands exactly once).
-    """
-
-    @jax.custom_vjp
-    def op(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
-           src0_fwd, nch_fwd, src0_bwd, nch_bwd):
-        return _align_fwd_call(rec, seg_out, seg_in, seg_cnt, src0_fwd,
-                               nch_fwd, c_aligned, nf, k_seg)
-
-    def fwd(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
-            src0_fwd, nch_fwd, src0_bwd, nch_bwd):
-        out = op(rec, seg_out, seg_in, seg_cnt, bounds2d, ab2d, cnt2d,
-                 src0_fwd, nch_fwd, src0_bwd, nch_bwd)
-        return out, (seg_out.shape, bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd,
-                     rec.shape)
-
-    def bwd(res, g):
-        seg_shape, bounds2d, ab2d, cnt2d, src0_bwd, nch_bwd, rec_shape = res
-        g_pad = jnp.zeros((rec_shape[0], round_up(g.shape[1] + 2 * ICH, ICH)),
-                          jnp.float32)
-        g_pad = g_pad.at[:, 0:g.shape[1]].set(g)
-        d_rec = segment_gather(g_pad, bounds2d, ab2d, cnt2d, src0_bwd,
-                               nch_bwd, rec_shape[1], nf)
-        f0_seg = np.zeros(seg_shape, jax.dtypes.float0)
-        return (d_rec, f0_seg, f0_seg, f0_seg,
-                jnp.zeros_like(bounds2d), jnp.zeros_like(ab2d),
-                jnp.zeros_like(cnt2d), _f0(src0_bwd), _f0(nch_bwd),
-                _f0(src0_bwd), _f0(nch_bwd))
-
-    op.defvjp(fwd, bwd)
-    return op

@@ -75,7 +75,7 @@ def main():
     vp = jnp.asarray(args["vp"])
     cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"])
 
-    stages = ["prep", "sort1", "cumsum", "expand", "sort2", "align", None]
+    stages = ["prep", "sort1", "cumsum", "expand", "sort2", None]
     prefix_ms = {}
     for s in stages:
         name = s or "full"
@@ -99,29 +99,28 @@ def main():
         log(f"{name:10s} {cost:8.2f} ms")
 
     # --- composite kernel in isolation (fwd and fwd+bwd) ------------------
-    align_fn = jax.jit(functools.partial(
+    sort2_fn = jax.jit(functools.partial(
         fastpath.render_fast, width=WIDTH, height=HEIGHT, cfg=cfg,
-        stop_after="align"))
-    rec_aligned, aux = align_fn(params, view, vp, *cam_f)
-    rec_aligned = jax.block_until_ready(rec_aligned)
-    ab, counts_t = aux["ab"], aux["counts_t"]
+        stop_after="sort2"))
+    _, aux = sort2_fn(params, view, vp, *cam_f)
+    sf2 = tuple(jax.block_until_ready(f) for f in aux["fields"])
+    bounds = aux["bounds"]
+    cap = sf2[0].shape[0]
 
-    from openglgaussiansplattingrenderer_tpu.ops.compositing import padded_dims
-    from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
+    def comp(fields, bounds):
+        tiled, _, _ = fastpath.composite_sorted(
+            fields, bounds, capacity=cap, num_tiles=cfg.num_tiles,
+            tile_ids=jnp.arange(cfg.num_tiles, dtype=jnp.int32),
+            width=WIDTH, height=HEIGHT, cfg=cfg)
+        return tiled
 
-    wp, hp = padded_dims(WIDTH, HEIGHT, cfg)
-    pw, ph = wp // cfg.grid_x, hp // cfg.grid_y
-    op = pc._make_composite_op(cfg.num_tiles, cfg.chunk, pw, ph, cfg.grid_x,
-                               pw * ph, float(cfg.alpha_min),
-                               float(cfg.alpha_max), float(1.0 - cfg.saturation))
-
-    comp_fwd = jax.jit(lambda r: op(r, ab, counts_t))
-    ms_fwd, _ = time_fn(comp_fwd, rec_aligned)
+    comp_fwd = jax.jit(comp)
+    ms_fwd, _ = time_fn(comp_fwd, sf2, bounds)
     log(f"composite fwd (isolated)     = {ms_fwd:8.2f} ms")
 
     comp_fb = jax.jit(jax.value_and_grad(
-        lambda r: jnp.sum(op(r, ab, counts_t)[:, :, 0:3] ** 2)))
-    ms_fb, _ = time_fn(comp_fb, rec_aligned)
+        lambda f, b: jnp.sum(comp(f, b)[:, :, 0:3] ** 2)))
+    ms_fb, _ = time_fn(comp_fb, sf2, bounds)
     log(f"composite fwd+bwd (isolated) = {ms_fb:8.2f} ms "
         f"(bwd-only ~ {ms_fb - ms_fwd:.2f} ms)")
 
