@@ -11,7 +11,7 @@ actually good at -- payload sorts and MXU matmuls:
   2. expand duplicates: records in splat-major order are a *monotone* gather
      (each output block reads a bounded contiguous input span), done by a
      Pallas kernel as a one-hot MXU matmul -- an exact gather, since 0/1
-     multipliers are bf16-exact and HIGHEST precision reconstructs f32
+     multipliers are bf16-exact and a 3-term bf16 split reconstructs f32
   3. stable sort records by tile id, fields as payloads: because step 1
      ordered splats by depth, tile-stable order == (tile, depth) order --
      the reference's packed key sort (preprocess.glsl:154) with the depth
@@ -42,8 +42,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HIGH = jax.lax.Precision.HIGHEST
-
 # splat-table rows (transposed layout (ROWS, Npad)):
 #  0 mx  1 my  2 A  3 B  4 C  5 op  6 r  7 g  8 b
 #  9 tmin_x  10 tmin_y  11 ext_x  12 cum_excl  13 cum_incl
@@ -68,20 +66,50 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
+# One-hot gathers are exact at asymmetric precision: the value side needs a
+# full 3-term bf16 split (f32 has 24 mantissa bits = 3 x 8) but the 0/1
+# one-hot side is bf16-exact in a single term. Mosaic does not support
+# per-operand dot precision, so the split is done by hand (Dekker-style:
+# each remainder subtraction is exact) and accumulated in f32 -- each
+# product v_i * {0,1} is exact and the partial sums recombine disjoint bit
+# ranges, so gathers reconstruct the f32 value exactly. 3 native bf16 MXU
+# passes instead of HIGHEST's 6.
+
+
+def _split3_bf16(a):
+    """Exact decomposition a == a0 + a1 + a2 with each term bf16."""
+    a0 = a.astype(jnp.bfloat16)
+    r1 = a - a0.astype(jnp.float32)
+    a1 = r1.astype(jnp.bfloat16)
+    r2 = r1 - a1.astype(jnp.float32)
+    a2 = r2.astype(jnp.bfloat16)
+    return a0, a1, a2
+
+
 def _dot(a, b):
-    """Exact f32 matmul (one-hot gathers need full precision)."""
-    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=HIGH)
+    """Exact gather matmul: a = f32 values, b = 0/1 one-hot."""
+    bb = b.astype(jnp.bfloat16)
+    a0, a1, a2 = _split3_bf16(a)
+    acc = jnp.dot(a0, bb, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(a1, bb, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(a2, bb, preferred_element_type=jnp.float32)
 
 
 def _dot_rt(a, b):
-    """a (M, K) x b (N, K) -> (M, N), contracting the lane dims of both.
+    """a (M, K) values x b (N, K) one-hot -> (M, N), contracting lanes.
 
     Lets one-hots be built in (out, in) orientation so the span tables can
     stay lane-oriented (Mosaic cannot DMA narrow sublane-oriented slices).
     """
-    return jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=HIGH)
+    dn = (((1,), (1,)), ((), ()))
+    bb = b.astype(jnp.bfloat16)
+    a0, a1, a2 = _split3_bf16(a)
+    acc = jax.lax.dot_general(a0, bb, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(a1, bb, dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+    return acc + jax.lax.dot_general(a2, bb, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
 
 
 def _f0(x):

@@ -65,7 +65,7 @@ def main():
         f"({n / load_s / 1e6:.1f} Msplat/s)")
 
     cfg = RenderConfig.for_resolution(
-        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=256,
+        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=128,
         dup_capacity_factor=3.0)
     log(f"capacity {cfg.capacity(n)} records")
 
