@@ -8,7 +8,10 @@ masked-cumsum formulation proven equivalent to sequential front-to-back
 blending in ``ops/compositing.py``. Early exit: once every pixel in the tile
 is saturated past 0.99 accumulated alpha, remaining chunks are skipped
 (``draw.glsl:129-133``'s per-pixel break, hoisted to chunk granularity --
-exact, because the include mask would zero them anyway).
+exact, because the include mask would zero them anyway); with
+``FWD_EXIT_ROWS`` set, the forward also exits per pixel-row block, a
+sub-tile granularity between the reference's per-pixel break and the
+chunk-level one.
 
 Layout choices (TPU/Mosaic):
 - records are packed *transposed* (NF, C) float32 [mx; my; A; B; C; op; r; g;
@@ -118,25 +121,79 @@ def pack_records(records: Dict[str, jnp.ndarray], c_pad: int) -> jnp.ndarray:
     return out.at[0:fields.shape[0], 0:c].set(fields)
 
 
-def _pixel_grid_block(ox, oy, b, pw, pb):
-    """Pixel-centre coordinates of pixel-row block b (pb rows) of the tile
-    with pixel origin (ox, oy), as (pw*pb, 1) columns, row-major (y outer).
+def _sos_chunk(rec, ox, oy, in_range):
+    """Per-CHUNK record preprocessing for the sum-of-squares Gaussian
+    evaluation (amortized over the block's pixels: ~15 VPU ops per record,
+    not per pair).
 
-    Origins arrive as per-tile scalar-prefetch tables rather than being
-    derived from the grid index, so a sharded chip can composite a
-    non-contiguous (round-robin) subset of global tiles with the same
-    kernel."""
+    power = -(A dx^2 + C dy^2)/2 - B dx dy = -q/2 with q the PSD conic
+    quadratic form. A naive 6-feature expansion ([1, x, y, x^2, xy, y^2] x
+    coefficients) cancels catastrophically for anisotropic records binned
+    far along their major axis (terms ~ A*mx^2 ~ 1e6 summing to ~1; the
+    elementwise formulation rounds the same way in kernel and oracle, so
+    the error only appears when formulations differ -- measured 0.26 image
+    divergence). Instead, Cholesky-factor the conic per record with the
+    -1/2 folded into the factors (q/2 = u^2 + v^2, u = s11 dx + s12 dy,
+    v = s22 dy): u and v are LINEAR in tile-local pixel coordinates, and
+    for contributing pixels |u|,|v| <= ~2.4, so cancellation error stays
+    ~1e-4 on power. Per (pixel, record) pair only u, v, -(u^2+v^2) remain
+    (10 VPU ops vs 11 for the direct quadratic) AND the reference's
+    ``power > 0 -> skip`` test (``draw.glsl:115``) is provably a no-op
+    (-(u^2+v^2) <= 0 always, and power==0 is kept by both), so its compare
+    + and disappear from the pair loop. ``in_range`` (lanes inside
+    [b0, b1)) is likewise folded into a pre-masked opacity row here, saving
+    two more per-pair ops. An MXU formulation ((pixels, 3) x (3, 2*chunk)
+    dot) was measured SLOWER: Mosaic pads the K=3 contraction to 128 and
+    HIGHEST costs 6 passes (fwd 99.2 -> 110.3 ms).
+
+    eps guards the zero-padded lanes (all-zero records -> s's all zero ->
+    power 0, alpha 0 via the masked opacity).
+
+    Returns (1, chunk) rows (s11, s12, s22, u0, v0, opm): the scaled
+    Cholesky factors, the affine offsets absorbing the record centre, and
+    the range-masked opacity.
+    """
+    mxl = rec[0:1, :] - ox.astype(jnp.float32)
+    myl = rec[1:2, :] - oy.astype(jnp.float32)
+    ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+    s11 = jnp.sqrt(jnp.maximum(ca * 0.5, 0.0))
+    s12 = (cb * 0.5) / jnp.maximum(s11, 1e-20)
+    s22 = jnp.sqrt(jnp.maximum(cc * 0.5 - s12 * s12, 0.0))
+    u0 = -(s11 * mxl + s12 * myl)
+    v0 = -(s22 * myl)
+    opm = jnp.where(in_range, rec[5:6, :], 0.0)
+    return s11, s12, s22, u0, v0, opm
+
+
+def _block_coords(b, pw, pb):
+    """Tile-local pixel-centre coordinates of pixel-row block b (pb rows),
+    as (pw*pb, 1) columns, row-major (y outer). Tile origins arrive as
+    per-tile scalar-prefetch tables rather than being derived from the grid
+    index, so a sharded chip can composite a non-contiguous (round-robin)
+    subset of global tiles with the same kernel; all in-kernel math is
+    tile-local (the origin is absorbed into ``_sos_chunk``'s offsets)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (pw * pb, 1), 0)
-    px = (ox + idx % pw).astype(jnp.float32)
-    py = (oy + b * pb + idx // pw).astype(jnp.float32)
-    return px, py
+    fx = (idx % pw).astype(jnp.float32)
+    fy = (b * pb + idx // pw).astype(jnp.float32)
+    return fx, fy
 
 
-def _pick_pixel_block(pw: int, ph: int, chunk: int, budget: int) -> int:
+def _sos_power(s11, s12, s22, u0, v0, fx, fy):
+    """-(u^2 + v^2) for one pixel block: 10 VPU ops per (pixel, record)."""
+    u = s11 * fx + (s12 * fy + u0)
+    v = s22 * fy + v0
+    return -(u * u + v * v)
+
+
+def _pick_pixel_block(pw: int, ph: int, chunk: int, budget: int,
+                      max_rows: int | None = None) -> int:
     """Rows per pixel block: largest divisor of ph with pw*rows*chunk within
-    the VMEM temp budget (elements). Bounds in-kernel (P_blk, chunk) temps."""
+    the VMEM temp budget (elements). Bounds in-kernel (P_blk, chunk) temps.
+    ``max_rows`` additionally caps the block height -- the forward kernel
+    uses it to give the saturation early-exit sub-tile granularity."""
     best = 1
-    for rows in range(1, ph + 1):
+    cap = ph if max_rows is None else min(ph, max_rows)
+    for rows in range(1, cap + 1):
         if ph % rows == 0 and pw * rows * chunk <= budget:
             best = rows
     return best
@@ -193,37 +250,56 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
             k = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
                  + (start + c * chunk))
             in_range = (k >= b0) & (k < b1)
+            sos = _sos_chunk(rec, ox, oy, in_range)
+            mxl = rec[0:1, :] - ox.astype(jnp.float32)
+            myl = rec[1:2, :] - oy.astype(jnp.float32)
             # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
+            # and give the early exit sub-tile granularity
             for b in range(nblk):
                 rows = slice(b * pblk, (b + 1) * pblk)
-                px, py = _pixel_grid_block(ox, oy, b, pw, pb)
-                trans = out_ref[0, rows, 3:4]         # (pblk, 1)
-                dx = px - rec[0:1, :]                 # (pblk, chunk)
-                dy = py - rec[1:2, :]
-                ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                alpha = jnp.minimum(alpha_max, jnp.exp(power) * rec[5:6, :])
-                keep = in_range & (power <= 0.0) & (alpha >= alpha_min)
-                alpha = jnp.where(keep, alpha, 0.0)
 
-                one_m = 1.0 - alpha
-                s_excl = trans * _cumprod_excl_lanes(one_m)
-                inc = s_excl > thresh
-                w = jnp.where(inc, alpha * s_excl, 0.0)
-                # colour accumulation as one MXU matmul contracting lanes
-                # (exact enough at HIGHEST: replaces 3 VPU mul+lane-reduces)
-                out_ref[0, rows, 0:3] += jax.lax.dot_general(
-                    w, rec[6:9, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                # new transmittance = inclusive prefix at the last included
-                # lane; the prefix is non-increasing along lanes (factors in
-                # [0,1]) and ``inc`` is a prefix mask, so it's the masked min
-                # -- replaces a second log2(chunk)-step cumprod scan.
-                out_ref[0, rows, 3:4] = jnp.min(
-                    jnp.where(inc, s_excl * one_m, trans),
-                    axis=1, keepdims=True)
+                # block-level early exit: saturation is spatially uneven,
+                # so a block of rows often saturates chunks before the
+                # whole tile does
+                @pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)
+                def _(b=b, rows=rows):
+                    s11, s12, s22, u0, v0, opm = sos
+                    trans = out_ref[0, rows, 3:4]     # (pblk, 1)
+                    fx, fy = _block_coords(b, pw, pb)
+                    if POWER_FORM == "sos":
+                        power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
+                        alpha = jnp.minimum(alpha_max, jnp.exp(power) * opm)
+                        alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+                    else:  # direct quadratic (perf comparison; same maths)
+                        dx = fx - mxl
+                        dy = fy - myl
+                        power = (-0.5 * (rec[2:3, :] * dx * dx
+                                         + rec[4:5, :] * dy * dy)
+                                 - rec[3:4, :] * dx * dy)
+                        alpha = jnp.minimum(alpha_max, jnp.exp(power) * opm)
+                        alpha = jnp.where(
+                            (power <= 0.0) & (alpha >= alpha_min), alpha, 0.0)
+
+                    one_m = 1.0 - alpha
+                    s_excl = trans * _cumprod_excl_lanes(one_m)
+                    inc = s_excl > thresh
+                    w = jnp.where(inc, alpha * s_excl, 0.0)
+                    # colour accumulation as one MXU matmul contracting
+                    # lanes (exact enough at HIGHEST: replaces 3 VPU
+                    # mul+lane-reduces)
+                    out_ref[0, rows, 0:3] += jax.lax.dot_general(
+                        w, rec[6:9, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    # new transmittance = inclusive prefix at the last
+                    # included lane; the prefix is non-increasing along
+                    # lanes (factors in [0,1]) and ``inc`` is a prefix
+                    # mask, so it's the masked min -- replaces a second
+                    # log2(chunk)-step cumprod scan.
+                    out_ref[0, rows, 3:4] = jnp.min(
+                        jnp.where(inc, s_excl * one_m, trans),
+                        axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, nch, body, None)
 
@@ -332,6 +408,7 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         mx, my = rec[0:1, :], rec[1:2, :]
         ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
         op = rec[5:6, :]
+        s11, s12, s22, u0, v0, opm = _sos_chunk(rec, ox, oy, in_range)
         # tile-local record centres keep the moment algebra numerically small
         mxl = mx - ox.astype(jnp.float32)
         myl = my - oy.astype(jnp.float32)
@@ -342,19 +419,17 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         acc = None
         for b in range(nblk):
             rows = slice(b * pblk, (b + 1) * pblk)
-            px, py = _pixel_grid_block(ox, oy, b, pw, pb)
             g_rgb = g_ref[0, rows, 0:3]               # (pblk, 3)
             g_t = g_ref[0, rows, 3:4]
             t_fin = out_res_ref[0, rows, 3:4]
             trans = state[rows, 0:1]
             d_carry = state[rows, 1:2]
 
-            dx = px - mx
-            dy = py - my
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha_pre = jnp.exp(power) * op
+            fx, fy = _block_coords(b, pw, pb)
+            power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
+            alpha_pre = jnp.exp(power) * opm
             alpha = jnp.minimum(alpha_max, alpha_pre)
-            keep = in_range & (power <= 0.0) & (alpha >= alpha_min)
+            keep = alpha >= alpha_min
             alpha = jnp.where(keep, alpha, 0.0)
 
             one_m = 1.0 - alpha
@@ -378,8 +453,7 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
             # geometric grads from basis moments of dpower (tile-local
             # coordinates: px_l <= tile size so the expansions stay exact),
             # colour grads + the D-carry decrement from [g_rgb | ones] x w.
-            pxl = px - ox.astype(jnp.float32)          # (pblk, 1)
-            pyl = py - oy.astype(jnp.float32)
+            pxl, pyl = fx, fy                          # tile-local (pblk, 1)
             ones = jnp.ones((pblk, 1), jnp.float32)
             basis = jnp.concatenate(
                 [ones, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
@@ -440,11 +514,14 @@ def _interpret() -> bool:
 
 FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
 BWD_TEMP_BUDGET = 131_072
+FWD_EXIT_ROWS = None        # fwd pixel-block rows cap = early-exit granularity
+POWER_FORM = "direct"       # "sos" | "direct" (sweep knob; same semantics)
 
 
 def _fwd_call(rec, bounds, ox, oy, *, num_tiles, chunk, pw, ph, p,
               alpha_min, alpha_max, thresh):
-    pb = _pick_pixel_block(pw, ph, chunk, FWD_TEMP_BUDGET)
+    pb = _pick_pixel_block(pw, ph, chunk, FWD_TEMP_BUDGET,
+                           max_rows=FWD_EXIT_ROWS)
     kernel = functools.partial(
         _fwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)

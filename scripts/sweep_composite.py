@@ -1,0 +1,126 @@
+"""Sweep composite-kernel tuning knobs on the real device, in isolation.
+
+Builds the bench scene's (tile, depth)-sorted record set once, then times
+the isolated composite forward (and backward) for each FWD_EXIT_ROWS
+setting -- the pixel-block height that doubles as the saturation
+early-exit granularity. Finer blocks exit sooner on saturated regions but
+pay per-block branch + small-dot overhead on 27k chunk-steps.
+
+Run on the TPU (serialize with other python processes on this box):
+    nohup python scripts/sweep_composite.py > /tmp/sweep_composite.log 2>&1 &
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+NUM_SPLATS = 1_000_000
+WIDTH, HEIGHT = 1920, 1080
+ITERS = 20
+REPEATS = 3
+# (power formulation, exit rows); exit rows None -> whole tile (nblk=1)
+VARIANTS = [("sos", None), ("sos", 8), ("direct", None), ("direct", 8)]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fence(x):
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
+def time_fn(fn, *args):
+    out = fn(*args)
+    fence(out)
+    results = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        for _ in range(ITERS):
+            out = fn(*args)
+        fence(out)
+        results.append((time.time() - t0) / ITERS * 1000)
+    return float(np.median(results))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"device: {jax.devices()[0]}")
+
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.ops import fastpath
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
+    from openglgaussiansplattingrenderer_tpu.render import camera_args
+
+    cfg = RenderConfig.for_resolution(
+        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=128,
+        dup_capacity_factor=4.0)
+    scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
+                                        log_scale_range=(-5.5, -3.2))
+    cam = Camera(0.0, 0.0, -8.0, width=WIDTH, height=HEIGHT)
+    args = camera_args(cam)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    view = jnp.asarray(args["view"])
+    vp = jnp.asarray(args["vp"])
+    cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"],
+             args["tan_fovy"])
+
+    sort2_fn = jax.jit(functools.partial(
+        fastpath.render_fast, width=WIDTH, height=HEIGHT, cfg=cfg,
+        stop_after="sort2"))
+    _, aux = sort2_fn(params, view, vp, *cam_f)
+    sf2 = tuple(aux["fields"])
+    bounds = aux["bounds"]
+    # one-element fences only -- block_until_ready over many large outputs
+    # has wedged this backend
+    fence(bounds)
+    cap = sf2[0].shape[0]
+    log(f"records sorted; capacity {cap}")
+
+    def comp(fields, bounds):
+        tiled, _, _ = fastpath.composite_sorted(
+            fields, bounds, capacity=cap, num_tiles=cfg.num_tiles,
+            tile_ids=jnp.arange(cfg.num_tiles, dtype=jnp.int32),
+            width=WIDTH, height=HEIGHT, cfg=cfg)
+        return tiled
+
+    def comp_bwd(fields, bounds):
+        def loss(fields):
+            tiled, _, _ = fastpath.composite_sorted(
+                fields, bounds, capacity=cap, num_tiles=cfg.num_tiles,
+                tile_ids=jnp.arange(cfg.num_tiles, dtype=jnp.int32),
+                width=WIDTH, height=HEIGHT, cfg=cfg)
+            return jnp.mean(tiled[:, :, 0:3] ** 2)
+
+        return jax.value_and_grad(loss)(fields)
+
+    for form, rows in VARIANTS:
+        pc.POWER_FORM = form
+        pc.FWD_EXIT_ROWS = rows if rows is not None else 10_000
+        pc._make_composite_op.cache_clear()
+        t0 = time.time()
+        fwd_ms = time_fn(jax.jit(comp), sf2, bounds)
+        log(f"form={form:6s} exit_rows={str(rows):5s}: composite fwd "
+            f"{fwd_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
+
+    # backward at the default setting
+    pc.POWER_FORM = "sos"
+    pc.FWD_EXIT_ROWS = 8
+    pc._make_composite_op.cache_clear()
+    fb_ms = time_fn(jax.jit(comp_bwd), sf2, bounds)
+    log(f"composite fwd+bwd (isolated) = {fb_ms:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
