@@ -191,9 +191,12 @@ def expand_depth_records(
     seg_end = jnp.minimum(cum_incl_i[jnp.minimum(n0s + rk.SB - 1, n - 1)], total)
     nch_arr = jnp.maximum(-(-(seg_end - a0_arr) // rk.ICH), 0).astype(jnp.int32)
 
+    wp_e, hp_e = padded_dims(width, height, cfg)
     expand = rk.make_expand_op(capacity=capacity, gx=cfg.grid_x,
                                num_tiles=t, n_seg_pad=n_seg,
-                               with_depth=with_depth)
+                               with_depth=with_depth,
+                               pw=wp_e // cfg.grid_x, ph=hp_e // cfg.grid_y,
+                               alpha_min=float(cfg.alpha_min))
     rec_sm = expand(table, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
     info = {"prep": prep, "total": total, "total_all": total_all}
     if stop_after == "expand":
@@ -252,5 +255,8 @@ def render_fast(
         "max_bin": jnp.max(counts_t),
         "mean_bin": jnp.mean(counts_t.astype(jnp.float32)),
         "binned_records": bounds[-1],
+        # records whose Gaussian cannot reach alpha_min anywhere in their
+        # tile, marked invalid by the expand kernel's reachability cull
+        "culled_unreachable": total - bounds[-1],
     }
     return image, stats

@@ -192,7 +192,8 @@ sort_multi_with_payload.defvjp(_smp_fwd, _smp_bwd)
 
 
 def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
-                   tbuf, sem, *, gx, num_tiles, outer, with_depth):
+                   tbuf, sem, *, gx, num_tiles, outer, with_depth,
+                   pw, ph, alpha_min):
     """One grid step emits records [g*outer*OB, (g+1)*outer*OB) as ``outer``
     pipelined OB-sized sub-blocks (amortizing per-grid-step overhead).
 
@@ -202,6 +203,23 @@ def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
     (out, in) orientation against the lane-resident cum rows) gathers all
     splat rows in one exact MXU matmul. Sub-block table DMAs are
     double-buffered: slot j%2 is only reused after its compute finished.
+
+    Ellipse-reachability cull (with ``alpha_min``; needs tile pixel dims
+    ``pw`` x ``ph``): the reference bins every tile of the splat's 3-sigma
+    AABB (``preprocess.glsl``) and lets ``draw.glsl``'s per-pixel alpha
+    cutoff reject the pairs; here each record additionally checks whether
+    its Gaussian can reach alpha_min ANYWHERE in its tile's pixel rect. The
+    exact minimum of the PSD conic quadratic q over the rect is the min of
+    the two KKT edge candidates (clamped 1-D minimizers); if
+    exp(-qmin/2) * op < alpha_min the record contributes exactly zero to
+    every pixel of the tile, so it is marked invalid (tile = num_tiles):
+    the tile sort pushes it past bounds[-1] and the compositor never
+    streams it. Output-exact by construction (margin absorbs the f32
+    formulation rounding between this test and the compositor's power);
+    culls AABB-corner tiles the ellipse misses and the op-dependent
+    radius shrink (contribution radius is sqrt(2 ln(op/alpha_min)) sigma,
+    not 3 sigma) the reference's binning ignores. ~25 VPU ops per record,
+    amortized over the tile's pw*ph pixel evaluations it saves.
     """
     g = pl.program_id(0)
     total = meta_ref[0]
@@ -232,13 +250,41 @@ def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
         joff = r - vals[12:13, :]                         # r - cum_excl[s]
         ext = jnp.maximum(vals[11:12, :], 1.0)
         q = jnp.floor((joff + 0.5) / ext)
-        tile = (vals[10:11, :] + q) * gx + vals[9:10, :] + (joff - q * ext)
+        ty = vals[10:11, :] + q
+        tx = vals[9:10, :] + (joff - q * ext)
+        tile = ty * gx + tx
+
+        keep = r < total
+        if alpha_min is not None:
+            mx, my = vals[0:1, :], vals[1:2, :]
+            aa, bb, cc = vals[2:3, :], vals[3:4, :], vals[4:5, :]
+            x0 = tx * float(pw)
+            y0 = ty * float(ph)
+            # nearest-bound clamps (KKT active constraints of the convex q)
+            dx0 = jnp.clip(mx, x0, x0 + (pw - 1)) - mx
+            dy0 = jnp.clip(my, y0, y0 + (ph - 1)) - my
+            ylo = y0 - my
+            xlo = x0 - mx
+            # edge candidates: fix one coordinate at its bound, minimize the
+            # 1-D quadratic in the other, clamped back into the rect
+            dys = jnp.clip(-bb * dx0 / jnp.maximum(cc, 1e-12),
+                           ylo, ylo + (ph - 1))
+            q1 = (aa * dx0 * dx0 + cc * dys * dys) + 2.0 * (bb * dx0 * dys)
+            dxs = jnp.clip(-bb * dy0 / jnp.maximum(aa, 1e-12),
+                           xlo, xlo + (pw - 1))
+            q2 = (aa * dxs * dxs + cc * dy0 * dy0) + 2.0 * (bb * dxs * dy0)
+            qmin = jnp.minimum(q1, q2)
+            # reachable iff exp(-qmin/2) * op >= alpha_min; the margin keeps
+            # the test conservative under f32 formulation rounding
+            ln_ratio = (jnp.log(jnp.maximum(vals[5:6, :], 1e-30))
+                        - float(np.log(alpha_min)))
+            keep = keep & (qmin * 0.49999 <= ln_ratio + 1e-4)
 
         valid = (r < total).astype(jnp.float32)
         cols = slice(j * OB, (j + 1) * OB)
         out_ref[0:NUM_FIELDS, cols] = vals[0:NUM_FIELDS, :] * valid
         out_ref[NUM_FIELDS:NUM_FIELDS + 1, cols] = jnp.where(
-            valid > 0, tile, jnp.float32(num_tiles))
+            keep, tile, jnp.float32(num_tiles))
         if with_depth:
             out_ref[NUM_FIELDS + 1:NUM_FIELDS + 2, cols] = (
                 vals[14:15, :] * valid)
@@ -250,7 +296,7 @@ def _expand_kernel(s0_ref, meta_ref, table_ref, out_ref,
 
 
 def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles,
-                 with_depth=False):
+                 with_depth=False, pw=None, ph=None, alpha_min=None):
     assert capacity % (OB * EXP_OUTER) == 0
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -266,7 +312,8 @@ def _expand_call(table_t, s0_arr, meta, *, capacity, gx, num_tiles,
         ],
     )
     kernel = functools.partial(_expand_kernel, gx=gx, num_tiles=num_tiles,
-                               outer=EXP_OUTER, with_depth=with_depth)
+                               outer=EXP_OUTER, with_depth=with_depth,
+                               pw=pw, ph=ph, alpha_min=alpha_min)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -337,7 +384,8 @@ def _segsum_call(drec_padded, cum2_lanes, a0_arr, nch_arr, *, n_seg_pad):
 
 
 def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int,
-                   with_depth: bool = False):
+                   with_depth: bool = False, pw: int | None = None,
+                   ph: int | None = None, alpha_min: float | None = None):
     """Differentiable duplicate expansion.
 
     op(table_t (TABLE_ROWS, Npad), cum2_lanes (8, Npad), s0_arr, meta,
@@ -346,13 +394,18 @@ def make_expand_op(*, capacity: int, gx: int, num_tiles: int, n_seg_pad: int,
        ``with_depth`` the table's row 14 must hold per-splat depth; it rides
        along for the sharded path's owner-side merge sort (no gradient --
        sort keys are stop-gradient, as in ``sort_with_payload``).
+
+    With ``alpha_min`` (and the tile pixel dims ``pw`` x ``ph``), records
+    whose Gaussian cannot reach alpha_min anywhere in their tile are marked
+    invalid -- see ``_expand_kernel``; output-exact, composite work shrinks.
     """
 
     @jax.custom_vjp
     def op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
         return _expand_call(table_t, s0_arr, meta,
                             capacity=capacity, gx=gx, num_tiles=num_tiles,
-                            with_depth=with_depth)
+                            with_depth=with_depth, pw=pw, ph=ph,
+                            alpha_min=alpha_min)
 
     def fwd(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr):
         out = op(table_t, cum2_lanes, s0_arr, meta, a0_arr, nch_arr)
