@@ -414,11 +414,13 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         myl = my - oy.astype(jnp.float32)
 
         # pixel-row blocks bound the (pblk, chunk) temps; per-record grads
-        # accumulate across blocks in registers (the block loop is static),
-        # written to the dbuf slot once per chunk
-        acc = None
-        for b in range(nblk):
-            rows = slice(b * pblk, (b + 1) * pblk)
+        # accumulate across blocks in registers (single block) or by
+        # read-modify-writing the dbuf slot (multiple blocks, so each block
+        # can be saturation-gated like the forward: a saturated block's
+        # grads and carry updates are exactly zero/no-ops)
+        acc_box = [None]
+
+        def blk(b, rows):
             g_rgb = g_ref[0, rows, 0:3]               # (pblk, 3)
             g_t = g_ref[0, rows, 3:4]
             t_fin = out_res_ref[0, rows, 3:4]
@@ -481,15 +483,28 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
                 s1 / jnp.maximum(op, 1e-12),
                 mw[6:9, :],                            # d colour
             ], axis=0)                                 # (9, chunk)
-            acc = grads if acc is None else acc + grads
+            if nblk > 1:
+                dbuf[slot] = dbuf[slot] + jnp.concatenate(
+                    [grads, jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
+            else:
+                acc_box[0] = (grads if acc_box[0] is None
+                              else acc_box[0] + grads)
             # carry updates: masked-min == prefix product at the last
             # included lane (see forward kernel); v's tail is the we-sum
             state[rows, 0:1] = jnp.min(
                 jnp.where(inc, s_excl * one_m, trans), axis=1, keepdims=True)
             state[rows, 1:2] = d_carry - v[:, -1:]
 
-        dbuf[slot] = jnp.concatenate(
-            [acc, jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
+        if nblk > 1:
+            dbuf[slot] = jnp.zeros((NF, chunk), jnp.float32)
+            for b in range(nblk):
+                rows = slice(b * pblk, (b + 1) * pblk)
+                pl.when(jnp.max(state[rows, 0:1]) > thresh)(
+                    functools.partial(blk, b, rows))
+        else:
+            blk(0, slice(0, pblk))
+            dbuf[slot] = jnp.concatenate(
+                [acc_box[0], jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
 
     jax.lax.fori_loop(0, nch, body, None)
     # drain the last (up to) two in-flight output DMAs before the grid
@@ -515,6 +530,7 @@ def _interpret() -> bool:
 FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
 BWD_TEMP_BUDGET = 131_072
 FWD_EXIT_ROWS = None        # fwd pixel-block rows cap = early-exit granularity
+BWD_EXIT_ROWS = None        # bwd pixel-block rows cap = early-exit granularity
 POWER_FORM = "direct"       # "sos" | "direct" (sweep knob; same semantics)
 
 
@@ -546,7 +562,8 @@ def _fwd_call(rec, bounds, ox, oy, *, num_tiles, chunk, pw, ph, p,
 
 def _bwd_call(rec, bounds, ox, oy, out_res, g, *, num_tiles, chunk, pw,
               ph, p, alpha_min, alpha_max, thresh):
-    pb = _pick_pixel_block(pw, ph, chunk, BWD_TEMP_BUDGET)
+    pb = _pick_pixel_block(pw, ph, chunk, BWD_TEMP_BUDGET,
+                           max_rows=BWD_EXIT_ROWS)
     kernel = functools.partial(
         _bwd_kernel, chunk=chunk, pw=pw, ph=ph, p=p, pb=pb,
         alpha_min=alpha_min, alpha_max=alpha_max, thresh=thresh)

@@ -114,12 +114,16 @@ def main():
         log(f"form={form:6s} exit_rows={str(rows):5s}: composite fwd "
             f"{fwd_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
 
-    # backward at the default setting
-    pc.POWER_FORM = "sos"
-    pc.FWD_EXIT_ROWS = 8
-    pc._make_composite_op.cache_clear()
-    fb_ms = time_fn(jax.jit(comp_bwd), sf2, bounds)
-    log(f"composite fwd+bwd (isolated) = {fb_ms:8.2f} ms")
+    # backward: exit-granularity variants (power form fixed to the default)
+    pc.POWER_FORM = "direct"
+    pc.FWD_EXIT_ROWS = None
+    for rows in (None, 8):
+        pc.BWD_EXIT_ROWS = rows
+        pc._make_composite_op.cache_clear()
+        t0 = time.time()
+        fb_ms = time_fn(jax.jit(comp_bwd), sf2, bounds)
+        log(f"bwd_exit_rows={str(rows):5s}: composite fwd+bwd "
+            f"{fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
 
 
 if __name__ == "__main__":
