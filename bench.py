@@ -17,6 +17,7 @@ pass the reference doesn't have.
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -26,6 +27,9 @@ NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MSPLAT_S = 3.616103 * 30.0  # bike-big @ 30fps fwd-only proxy
 ITERS = 10
+# sweep override (driver runs with no env): post-cull, 16px tiles carry
+# ~1.4x the records but ~2.1x less SIMD pair work -- re-testable knob
+TILE_PX = int(os.environ.get("BENCH_TILE_PX", "32"))
 
 
 def log(*a):
@@ -51,8 +55,8 @@ def main():
     # 32px tiles + chunk 128 beat 24/16px tiles (record growth dominates)
     # and chunks 256/512 on both fwd and fwd+bwd.
     cfg = RenderConfig.for_resolution(
-        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=128,
-        dup_capacity_factor=4.0)
+        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=128,
+        dup_capacity_factor=4.0 if TILE_PX >= 32 else 6.0)
     log(f"grid {cfg.grid_x}x{cfg.grid_y} ({cfg.num_tiles} tiles), "
         f"capacity {cfg.capacity(NUM_SPLATS)}")
 
