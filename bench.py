@@ -36,7 +36,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_tpu_relay(port: int = 8082, timeout: float = 3.0) -> bool:
+    """The axon TPU tunnel relay on this box can die; jax.devices() then
+    hangs forever instead of erroring. Fail fast with a clear message."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 def main():
+    if not _probe_tpu_relay():
+        log("FATAL: TPU relay (127.0.0.1:8082) unreachable -- the axon "
+            "tunnel is down; refusing to start (jax init would hang).")
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
