@@ -20,8 +20,12 @@ NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 ITERS = 20
 REPEATS = 3
-# (power formulation, exit rows); exit rows None -> whole tile (nblk=1)
-VARIANTS = [("sos", None), ("sos", 8), ("direct", None), ("direct", 8)]
+# (power formulation, exit rows, chunk); exit rows None -> whole tile
+VARIANTS = [
+    ("direct", None, 128), ("direct", 8, 128),
+    ("sos", None, 128), ("sos", 8, 128),
+    ("direct", None, 256), ("direct", 8, 256),
+]
 
 
 def log(*a):
@@ -88,31 +92,31 @@ def main():
     cap = sf2[0].shape[0]
     log(f"records sorted; capacity {cap}")
 
-    def comp(fields, bounds):
+    import dataclasses
+
+    def comp(fields, bounds, c):
         tiled, _, _ = fastpath.composite_sorted(
-            fields, bounds, capacity=cap, num_tiles=cfg.num_tiles,
-            tile_ids=jnp.arange(cfg.num_tiles, dtype=jnp.int32),
-            width=WIDTH, height=HEIGHT, cfg=cfg)
+            fields, bounds, capacity=cap, num_tiles=c.num_tiles,
+            tile_ids=jnp.arange(c.num_tiles, dtype=jnp.int32),
+            width=WIDTH, height=HEIGHT, cfg=c)
         return tiled
 
-    def comp_bwd(fields, bounds):
+    def comp_bwd(fields, bounds, c):
         def loss(fields):
-            tiled, _, _ = fastpath.composite_sorted(
-                fields, bounds, capacity=cap, num_tiles=cfg.num_tiles,
-                tile_ids=jnp.arange(cfg.num_tiles, dtype=jnp.int32),
-                width=WIDTH, height=HEIGHT, cfg=cfg)
-            return jnp.mean(tiled[:, :, 0:3] ** 2)
+            return jnp.mean(comp(fields, bounds, c)[:, :, 0:3] ** 2)
 
         return jax.value_and_grad(loss)(fields)
 
-    for form, rows in VARIANTS:
+    for form, rows, chunk in VARIANTS:
         pc.POWER_FORM = form
-        pc.FWD_EXIT_ROWS = rows if rows is not None else 10_000
+        pc.FWD_EXIT_ROWS = rows
         pc._make_composite_op.cache_clear()
+        c = dataclasses.replace(cfg, chunk=chunk)
         t0 = time.time()
-        fwd_ms = time_fn(jax.jit(comp), sf2, bounds)
-        log(f"form={form:6s} exit_rows={str(rows):5s}: composite fwd "
-            f"{fwd_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
+        fwd_ms = time_fn(jax.jit(functools.partial(comp, c=c)), sf2, bounds)
+        log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk}: "
+            f"composite fwd {fwd_ms:7.2f} ms  "
+            f"(compile+measure {time.time()-t0:.0f}s)")
 
     # backward: exit-granularity variants (power form fixed to the default)
     pc.POWER_FORM = "direct"
@@ -121,7 +125,8 @@ def main():
         pc.BWD_EXIT_ROWS = rows
         pc._make_composite_op.cache_clear()
         t0 = time.time()
-        fb_ms = time_fn(jax.jit(comp_bwd), sf2, bounds)
+        fb_ms = time_fn(jax.jit(functools.partial(comp_bwd, c=cfg)),
+                        sf2, bounds)
         log(f"bwd_exit_rows={str(rows):5s}: composite fwd+bwd "
             f"{fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
 
