@@ -427,11 +427,24 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
             trans = state[rows, 0:1]
             d_carry = state[rows, 1:2]
 
+            # the recompute MUST make the same keep/include decisions as the
+            # forward down to the last ulp (a flipped borderline record
+            # shifts transmittance for every later record in the tile), so
+            # it follows POWER_FORM exactly
             fx, fy = _block_coords(b, pw, pb)
-            power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
-            alpha_pre = jnp.exp(power) * opm
-            alpha = jnp.minimum(alpha_max, alpha_pre)
-            keep = alpha >= alpha_min
+            if POWER_FORM == "sos":
+                power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
+                alpha_pre = jnp.exp(power) * opm
+                alpha = jnp.minimum(alpha_max, alpha_pre)
+                keep = alpha >= alpha_min
+            else:
+                dx = fx - mxl
+                dy = fy - myl
+                power = (-0.5 * (ca * dx * dx + cc * dy * dy)
+                         - cb * dx * dy)
+                alpha_pre = jnp.exp(power) * opm
+                alpha = jnp.minimum(alpha_max, alpha_pre)
+                keep = (power <= 0.0) & (alpha >= alpha_min)
             alpha = jnp.where(keep, alpha, 0.0)
 
             one_m = 1.0 - alpha
