@@ -107,3 +107,38 @@ def test_pallas_backward_saturated_scene():
         np.testing.assert_allclose(
             g_p[k], g_j[k], rtol=5e-3, atol=2e-6,
             err_msg=f"gradient mismatch for {k}")
+
+
+@pytest.mark.parametrize("form,fwd_rows,bwd_rows", [
+    ("sos", 8, 8),
+    ("direct", 8, None),
+    ("sos", None, 8),
+])
+def test_pallas_knob_matrix_matches_jnp(monkeypatch, form, fwd_rows, bwd_rows):
+    """The sweepable kernel knobs (POWER_FORM, FWD/BWD_EXIT_ROWS) must all
+    reproduce the oracle's forward AND backward regardless of which
+    combination the hardware sweep eventually picks as default."""
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
+
+    monkeypatch.setattr(pc, "POWER_FORM", form)
+    monkeypatch.setattr(pc, "FWD_EXIT_ROWS", fwd_rows)
+    monkeypatch.setattr(pc, "BWD_EXIT_ROWS", bwd_rows)
+    pc._make_composite_op.cache_clear()
+
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(80, seed=33, extent=1.5)
+    scene["opacities"] = np.clip(scene["opacities"], 0.2, 0.9)
+    cam = Camera(0.0, 0.0, -5.0, width=w, height=h)
+    target = jnp.full((h, w, 3), 0.3)
+    cfg_j = dataclasses.replace(BASE, use_pallas=False)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+    img_j, _ = _run(scene, cam, cfg_j, w, h)
+    img_p, _ = _run(scene, cam, cfg_p, w, h)
+    np.testing.assert_allclose(img_p, img_j, atol=5e-5)
+    loss_j, g_j = _run(scene, cam, cfg_j, w, h, grad=True, target=target)
+    loss_p, g_p = _run(scene, cam, cfg_p, w, h, grad=True, target=target)
+    assert np.isclose(loss_p, loss_j, rtol=1e-5)
+    for k in g_j:
+        scale = np.abs(g_j[k]).max() + 1e-12
+        assert np.abs(g_p[k] - g_j[k]).max() / scale < 5e-3, k
+    pc._make_composite_op.cache_clear()
