@@ -1,0 +1,292 @@
+"""Adaptive density control (densify / split / prune) under static shapes.
+
+The reference renders a fixed splat set (no training at all); real 3DGS
+training grows and shrinks the set during optimisation (Kerbl et al. sec.
+5.2: clone under-reconstructed small Gaussians, split over-reconstructed
+large ones, prune transparent ones). GPU implementations realloc tensors
+per densify step -- on TPU that would retrace and recompile the whole
+pipeline every interval. Instead everything here is **capacity-static**:
+
+- parameters are allocated once at ``capacity`` rows; a boolean ``alive``
+  row mask tracks the live set;
+- dead rows carry ``logit_opacity = DEAD_LOGIT`` and ``log_scales =
+  DEAD_LOG_SCALE`` so the renderer culls them for ~free (alpha ~ 2e-9 is
+  below the 1/255 cutoff, so the expand kernel's reachability cull drops
+  their records before the sort and the compositor);
+- clone/split allocate into dead slots via rank-matching (k-th strongest
+  candidate -> k-th free slot), all inside one jitted function -- no
+  host syncs, no shape changes, no recompiles.
+
+Selection statistic: the accumulated L2 norm of dL/d mean (3D world
+space), normalised by how often the splat was visible. The original uses
+the *screen-space* positional gradient (graphdeco's
+``viewspace_point_tensor``); the 3D norm is what our pipeline hands out
+directly and differs only by the (roughly per-splat-constant) projection
+Jacobian scale, so the ranking it induces is equivalent in practice --
+the threshold just lives in world units.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openglgaussiansplattingrenderer_tpu.ops.transforms import quat_to_rotmat
+
+DEAD_LOGIT = -20.0        # sigmoid(-20) ~ 2e-9 << 1/255 -> culled at expand
+DEAD_LOG_SCALE = -20.0    # radius ~ 0 -> at most one (culled) record
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    capacity: int                     # static row count (>= initial splats)
+    grad_threshold: float = 2e-4      # accumulated mean-grad norm trigger
+    percent_dense: float = 0.01       # split if max scale > this * extent
+    scene_extent: float = 1.0         # world-space scene radius
+    min_opacity: float = 0.005        # prune below this (3DGS default)
+    split_factor: float = 1.6         # new scales = old / split_factor
+    start_step: int = 50
+    stop_step: int = 1_000_000
+    interval: int = 100               # densify every N steps
+
+
+def pad_to_capacity(
+    raw: Dict[str, jnp.ndarray], capacity: int
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Pad raw (pre-activation) parameters to ``capacity`` rows.
+
+    Returns (padded raw, alive mask). Dead rows are parked with tiny
+    opacity/scale (see module docstring) and identity quaternions.
+    """
+    n = raw["means"].shape[0]
+    if n > capacity:
+        raise ValueError(f"{n} splats exceed densify capacity {capacity}")
+    pad = capacity - n
+
+    def pad_rows(x, fill):
+        tail = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, tail], axis=0)
+
+    quat_tail = jnp.zeros((pad, 4), raw["quats"].dtype).at[:, 0].set(1.0)
+    padded = {
+        "means": pad_rows(raw["means"], 0.0),
+        "log_scales": pad_rows(raw["log_scales"], DEAD_LOG_SCALE),
+        "quats": jnp.concatenate([raw["quats"], quat_tail], axis=0),
+        "logit_opacities": pad_rows(raw["logit_opacities"], DEAD_LOGIT),
+        "colors": pad_rows(raw["colors"], 0.0),
+    }
+    alive = jnp.arange(capacity) < n
+    return padded, alive
+
+
+def _rank_index(mask: jnp.ndarray, order_key: jnp.ndarray) -> jnp.ndarray:
+    """Indices of ``mask``'s True rows, strongest ``order_key`` first, as a
+    full-capacity array (rows past the True count are junk -- callers gate
+    on the count). Static-shape replacement for ``nonzero``."""
+    key = jnp.where(mask, order_key, jnp.inf)
+    return jnp.argsort(key, stable=True)
+
+
+def reset_rows(opt_state, changed: jnp.ndarray):
+    """Zero optimizer moment rows for changed slots (new/rewritten splats
+    must not inherit stale Adam moments). Leaves whose leading axis matches
+    the capacity are masked; scalars (Adam step counts) pass through."""
+    cap = changed.shape[0]
+
+    def f(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            m = changed.reshape((cap,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(m, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree.map(f, opt_state)
+
+
+@functools.partial(jax.jit, static_argnames=("dc",))
+def densify_and_prune(
+    raw: Dict[str, jnp.ndarray],
+    alive: jnp.ndarray,
+    grad_accum: jnp.ndarray,
+    seen_count: jnp.ndarray,
+    key: jax.Array,
+    dc: DensifyConfig,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One adaptive-density step. Fully jitted, static shapes throughout.
+
+    Returns (new raw, new alive, changed-row mask, stats). ``changed`` rows
+    must have their optimizer moments reset (``reset_rows``) and the caller
+    zeroes the gradient accumulators.
+    """
+    cap = alive.shape[0]
+    opacities = jax.nn.sigmoid(raw["logit_opacities"])
+    scales = jnp.exp(raw["log_scales"])
+
+    # -- prune: transparent splats die; their slots free up immediately ----
+    keep = alive & (opacities >= dc.min_opacity)
+    pruned = jnp.sum(alive & ~keep)
+    alive = keep
+
+    # -- candidates: visible often enough, average grad above threshold ----
+    avg_grad = grad_accum / jnp.maximum(seen_count, 1.0)
+    cand = alive & (seen_count > 0) & (avg_grad > dc.grad_threshold)
+    is_split = cand & (jnp.max(scales, axis=-1)
+                       > dc.percent_dense * dc.scene_extent)
+
+    # -- rank-match candidates to free slots -------------------------------
+    n_cand = jnp.sum(cand)
+    n_free = jnp.sum(~alive)
+    n_new = jnp.minimum(n_cand, n_free)
+    src_by_rank = _rank_index(cand, -avg_grad)          # strongest first
+    dst_by_rank = _rank_index(~alive, jnp.arange(cap, dtype=jnp.float32))
+    use = jnp.arange(cap) < n_new
+
+    # per-slot source index: identity, then dst[r] <- src[r] for used ranks
+    source = jnp.arange(cap, dtype=jnp.int32)
+    source = source.at[dst_by_rank].set(
+        jnp.where(use, src_by_rank.astype(jnp.int32),
+                  dst_by_rank.astype(jnp.int32)))
+    is_new = jnp.zeros((cap,), bool).at[dst_by_rank].set(use)
+    # split originals whose second sample actually found a slot get
+    # resampled/shrunk in place; unallocated candidates stay untouched
+    orig_resampled = jnp.zeros((cap,), bool).at[src_by_rank].set(
+        use & is_split[src_by_rank])
+
+    gathered = {k: v[source] for k, v in raw.items()}
+    new_is_split = is_split[source]
+
+    # -- split sampling: x ~ N(mean, R S^2 R^T), scales / split_factor -----
+    # (Kerbl et al. 5.2; both children sample the parent's density.)
+    normals = jax.random.normal(key, (cap, 3), raw["means"].dtype)
+    rot = quat_to_rotmat(gathered["quats"]
+                         / jnp.linalg.norm(gathered["quats"], axis=-1,
+                                           keepdims=True))
+    offs = jnp.einsum("nij,nj->ni",
+                      rot, normals * jnp.exp(gathered["log_scales"]))
+    shrink = jnp.log(jnp.asarray(dc.split_factor, raw["log_scales"].dtype))
+
+    def choose(base, sampled, mask):
+        return jnp.where(mask.reshape((cap,) + (1,) * (base.ndim - 1)),
+                         sampled, base)
+
+    sampled_means = gathered["means"] + offs
+    sampled_log_scales = gathered["log_scales"] - shrink
+    out = dict(gathered)
+    # new slots: clones copy verbatim; splits take a sample + shrink
+    out["means"] = choose(gathered["means"], sampled_means,
+                          is_new & new_is_split)
+    out["log_scales"] = choose(gathered["log_scales"], sampled_log_scales,
+                               is_new & new_is_split)
+    # in-place resample of allocated split originals (their own fresh draw)
+    key2 = jax.random.fold_in(key, 1)
+    normals2 = jax.random.normal(key2, (cap, 3), raw["means"].dtype)
+    offs2 = jnp.einsum("nij,nj->ni",
+                       rot, normals2 * jnp.exp(gathered["log_scales"]))
+    out["means"] = choose(out["means"], gathered["means"] + offs2,
+                          orig_resampled)
+    out["log_scales"] = choose(out["log_scales"], sampled_log_scales,
+                               orig_resampled)
+
+    # park rows that are dead after pruning (and not newly allocated)
+    dead = ~(alive | is_new)
+    out["logit_opacities"] = jnp.where(dead, DEAD_LOGIT,
+                                       out["logit_opacities"])
+    out["log_scales"] = choose(out["log_scales"],
+                               jnp.full_like(out["log_scales"],
+                                             DEAD_LOG_SCALE), dead)
+
+    alive = alive | is_new
+    changed = is_new | orig_resampled | dead
+    stats = {"pruned": pruned, "cloned": jnp.sum(is_new & ~new_is_split),
+             "split": jnp.sum(is_new & new_is_split),
+             "alive": jnp.sum(alive)}
+    return out, alive, changed, stats
+
+
+def accumulate_grad_stats(
+    grad_accum: jnp.ndarray,
+    seen_count: jnp.ndarray,
+    means_grad: jnp.ndarray,
+    alive: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold one step's dL/d means into the densify statistics. A splat
+    counts as *seen* when its gradient is nonzero (culled / off-screen
+    splats receive exactly-zero grads from the pipeline)."""
+    norm = jnp.linalg.norm(means_grad, axis=-1)
+    seen = alive & (norm > 0.0)
+    return grad_accum + jnp.where(seen, norm, 0.0), seen_count + seen
+
+
+def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
+                       tc=None, width=None, height=None, seed: int = 0,
+                       log_every: int = 50, verbose: bool = True):
+    """``trainer.fit_scene`` with adaptive density control.
+
+    Starts from ``params`` (any count <= dc.capacity), densifies/prunes on
+    ``dc.interval`` inside [start_step, stop_step). Returns (activated
+    params at full capacity, alive mask, history). The render pipeline
+    never sees a shape change -- one compiled program serves the whole run.
+    """
+    from openglgaussiansplattingrenderer_tpu.render import camera_args
+    from openglgaussiansplattingrenderer_tpu.train import trainer
+
+    tc = tc or trainer.TrainConfig()
+    width = width or cameras[0].width
+    height = height or cameras[0].height
+    step = trainer.make_train_step(cfg, tc, width, height,
+                                   with_grad_norms=True)
+    raw, alive = pad_to_capacity(trainer.raw_from_params(params), dc.capacity)
+    state = step.init(raw)
+    grad_accum = jnp.zeros((dc.capacity,), jnp.float32)
+    seen_count = jnp.zeros((dc.capacity,), jnp.float32)
+    key = jax.random.PRNGKey(seed)
+
+    cam_bundles = []
+    for cam in cameras:
+        a = camera_args(cam)
+        cam_bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
+                            a["focal_x"], a["focal_y"], a["tan_fovx"],
+                            a["tan_fovy"]))
+    targets = [jnp.asarray(t, jnp.float32) for t in targets]
+
+    history = []
+    for i in range(tc.steps):
+        j = i % len(targets)
+        state, metrics = step(state, targets[j], *cam_bundles[j])
+        grad_accum, seen_count = accumulate_grad_stats(
+            grad_accum, seen_count, metrics["means_grad_norm"], alive)
+
+        if (dc.start_step <= i < dc.stop_step and i > 0
+                and i % dc.interval == 0):
+            key, sub = jax.random.split(key)
+            new_raw, alive, changed, dstats = densify_and_prune(
+                state.raw, alive, grad_accum, seen_count, sub, dc)
+            state = trainer.TrainState(
+                new_raw, reset_rows(state.opt_state, changed), state.step)
+            grad_accum = jnp.zeros_like(grad_accum)
+            seen_count = jnp.zeros_like(seen_count)
+            if verbose:
+                d = {k: int(v) for k, v in dstats.items()}
+                print(f"step {i}: densify {d}")
+
+        if i % log_every == 0 or i == tc.steps - 1:
+            m = {"loss": float(metrics["loss"]),
+                 "psnr": float(metrics["psnr"]),
+                 "alive": int(jnp.sum(alive))}
+            history.append({"step": i, **m})
+            if verbose:
+                print(f"step {i}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
+                      f"alive {m['alive']}")
+
+    return trainer.params_from_raw(state.raw), alive, history
+
+
+def compact_params(params: Dict[str, jnp.ndarray], alive) -> Dict[str, jnp.ndarray]:
+    """Host-side: drop dead rows (for PLY export / hand-off). Not jittable."""
+    import numpy as np
+
+    mask = np.asarray(alive)
+    return {k: np.asarray(v)[mask] for k, v in params.items()}

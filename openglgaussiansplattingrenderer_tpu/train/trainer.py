@@ -87,8 +87,14 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                     height: int,
-                    loss_fn: Optional[Callable] = None) -> Callable:
-    """Jitted (state, target, camera args) -> (state, metrics) step."""
+                    loss_fn: Optional[Callable] = None,
+                    with_grad_norms: bool = False) -> Callable:
+    """Jitted (state, target, camera args) -> (state, metrics) step.
+
+    ``with_grad_norms`` adds a per-splat ``means_grad_norm`` (N,) array to
+    the metrics -- the selection statistic for adaptive density control
+    (train/densify.py).
+    """
     optimizer = make_optimizer(tc)
 
     def loss_of(raw, target, view, vp, fx, fy, tfx, tfy):
@@ -104,18 +110,23 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     def step(raw, opt_state, target, view, vp, fx, fy, tfx, tfy):
         (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(
             raw, target, view, vp, fx, fy, tfx, tfy)
+        gnorm = (jnp.linalg.norm(grads["means"], axis=-1)
+                 if with_grad_norms else None)
         updates, opt_state = optimizer.update(grads, opt_state, raw)
         raw = optax.apply_updates(raw, updates)
-        return raw, opt_state, loss, losses.psnr(pred, target)
+        return raw, opt_state, loss, losses.psnr(pred, target), gnorm
 
     def run(state: TrainState, target, view, vp, fx, fy, tfx, tfy
             ) -> Tuple[TrainState, Dict[str, float]]:
-        raw, opt_state, loss, p = step(
+        raw, opt_state, loss, p, gnorm = step(
             state.raw, state.opt_state, target, view, vp, fx, fy, tfx, tfy)
-        return (TrainState(raw, opt_state, state.step + 1),
-                {"loss": loss, "psnr": p})
+        metrics = {"loss": loss, "psnr": p}
+        if with_grad_norms:
+            metrics["means_grad_norm"] = gnorm
+        return TrainState(raw, opt_state, state.step + 1), metrics
 
     run.init = lambda raw: TrainState(raw, optimizer.init(raw), 0)
+    run.optimizer = optimizer
     return run
 
 

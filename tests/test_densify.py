@@ -1,0 +1,200 @@
+"""Adaptive density control (train/densify.py): static-capacity clone /
+split / prune semantics, optimizer-moment hygiene, and an end-to-end
+adaptive fit. Capability the reference lacks entirely (it renders a fixed
+set); semantics follow Kerbl et al. sec. 5.2.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.render import render_stats
+from openglgaussiansplattingrenderer_tpu.train import (
+    TrainConfig, losses, trainer,
+)
+from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+CFG = RenderConfig(use_pallas=False, chunk=32, max_per_tile=256,
+                   dup_capacity_factor=32.0)
+
+
+def _raw_scene(n, seed=3, **kw):
+    scene = ply_io.make_synthetic_scene(n, seed=seed, **kw)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    return trainer.raw_from_params(params), params
+
+
+def test_pad_renders_identically():
+    """Dead (padding) rows must contribute nothing to the image."""
+    raw, params = _raw_scene(12)
+    padded, alive = dn.pad_to_capacity(raw, 32)
+    assert int(jnp.sum(alive)) == 12
+    cam = Camera(0.0, 0.0, -4.0, width=64, height=64)
+    img0, _ = render_stats(params, cam, CFG)
+    img1, _ = render_stats(trainer.params_from_raw(padded), cam, CFG)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               atol=1e-5)
+
+
+def _dc(**kw):
+    base = dict(capacity=32, grad_threshold=0.5, percent_dense=0.01,
+                scene_extent=1.0, min_opacity=0.005)
+    base.update(kw)
+    return dn.DensifyConfig(**base)
+
+
+def test_prune_kills_transparent():
+    raw, _ = _raw_scene(8)
+    raw["logit_opacities"] = raw["logit_opacities"].at[3].set(
+        trainer.inverse_sigmoid(jnp.float32(0.001)))
+    padded, alive = dn.pad_to_capacity(raw, 16)
+    accum = jnp.zeros((16,))
+    seen = jnp.zeros((16,))
+    out, alive2, changed, stats = dn.densify_and_prune(
+        padded, alive, accum, seen, jax.random.PRNGKey(0), _dc(capacity=16))
+    assert int(stats["pruned"]) == 1
+    assert not bool(alive2[3])
+    assert bool(changed[3])
+    # parked: tiny opacity + tiny scale -> culled by the pipeline
+    assert float(out["logit_opacities"][3]) == dn.DEAD_LOGIT
+    assert int(stats["alive"]) == 7
+
+
+def test_clone_copies_into_free_slots():
+    raw, _ = _raw_scene(8, log_scale_range=(-6.0, -5.0))  # tiny -> clone
+    padded, alive = dn.pad_to_capacity(raw, 16)
+    accum = jnp.zeros((16,)).at[jnp.array([2, 5])].set(10.0)
+    seen = jnp.ones((16,))
+    out, alive2, changed, stats = dn.densify_and_prune(
+        padded, alive, accum, seen, jax.random.PRNGKey(0),
+        _dc(capacity=16, scene_extent=100.0))   # huge extent -> never split
+    assert int(stats["cloned"]) == 2 and int(stats["split"]) == 0
+    assert int(jnp.sum(alive2)) == 10
+    # strongest candidates fill the first free slots, verbatim copies
+    new_rows = np.where(np.asarray(alive2) & ~np.asarray(alive))[0]
+    assert list(new_rows) == [8, 9]
+    src = {2, 5}
+    for r in new_rows:
+        matched = [s for s in src
+                   if np.allclose(np.asarray(out["means"][r]),
+                                  np.asarray(padded["means"][s]))]
+        assert matched, f"clone row {r} matches no candidate"
+        src.remove(matched[0])
+        assert bool(changed[r])
+
+
+def test_split_shrinks_and_samples():
+    raw, _ = _raw_scene(8, log_scale_range=(-1.0, -0.5))  # big -> split
+    padded, alive = dn.pad_to_capacity(raw, 16)
+    accum = jnp.zeros((16,)).at[4].set(10.0)
+    seen = jnp.ones((16,))
+    dc = _dc(capacity=16, scene_extent=1.0)
+    out, alive2, changed, stats = dn.densify_and_prune(
+        padded, alive, accum, seen, jax.random.PRNGKey(1), dc)
+    assert int(stats["split"]) == 1 and int(stats["cloned"]) == 0
+    new_row = int(np.where(np.asarray(alive2) & ~np.asarray(alive))[0][0])
+    shrink = np.log(dc.split_factor)
+    np.testing.assert_allclose(
+        np.asarray(out["log_scales"][new_row]),
+        np.asarray(padded["log_scales"][4]) - shrink, rtol=1e-6)
+    # the allocated original is resampled + shrunk in place
+    np.testing.assert_allclose(
+        np.asarray(out["log_scales"][4]),
+        np.asarray(padded["log_scales"][4]) - shrink, rtol=1e-6)
+    assert bool(changed[4]) and bool(changed[new_row])
+    # both children sample the parent's density: within 5 sigma of the mean
+    sig = float(np.max(np.exp(np.asarray(padded["log_scales"][4]))))
+    for r in (4, new_row):
+        d = np.linalg.norm(np.asarray(out["means"][r])
+                           - np.asarray(padded["means"][4]))
+        assert d < 5.0 * sig
+    # children differ from each other (independent draws)
+    assert not np.allclose(np.asarray(out["means"][4]),
+                           np.asarray(out["means"][new_row]))
+
+
+def test_capacity_limit_prefers_strongest():
+    raw, _ = _raw_scene(14, log_scale_range=(-6.0, -5.0))
+    padded, alive = dn.pad_to_capacity(raw, 16)   # only 2 free slots
+    accum = jnp.zeros((16,)).at[jnp.array([1, 3, 6, 9])].set(
+        jnp.array([5.0, 20.0, 10.0, 1.0]))
+    seen = jnp.ones((16,))
+    out, alive2, changed, stats = dn.densify_and_prune(
+        padded, alive, accum, seen, jax.random.PRNGKey(0),
+        _dc(capacity=16, grad_threshold=0.5, scene_extent=100.0))
+    assert int(jnp.sum(alive2)) == 16                 # full, no overflow
+    assert int(stats["cloned"]) == 2
+    new_rows = np.where(np.asarray(alive2) & ~np.asarray(alive))[0]
+    got = {tuple(np.round(np.asarray(out["means"][r]), 5)) for r in new_rows}
+    want = {tuple(np.round(np.asarray(padded["means"][s]), 5))
+            for s in (3, 6)}                          # strongest two grads
+    assert got == want
+
+
+def test_reset_rows_zeroes_moments():
+    raw, _ = _raw_scene(6)
+    padded, alive = dn.pad_to_capacity(raw, 8)
+    opt = trainer.make_optimizer(TrainConfig())
+    state = opt.init(padded)
+    # fabricate nonzero moments via one update
+    g = jax.tree.map(lambda x: jnp.ones_like(x) * 0.1, padded)
+    _, state = opt.update(g, state, padded)
+    changed = jnp.zeros((8,), bool).at[2].set(True)
+    state2 = dn.reset_rows(state, changed)
+    leaves = [l for l in jax.tree.leaves(state2)
+              if hasattr(l, "ndim") and l.ndim >= 1 and l.shape[0] == 8]
+    assert leaves, "expected capacity-shaped moment leaves"
+    for l in leaves:
+        assert float(jnp.max(jnp.abs(l[2]))) == 0.0
+        assert float(jnp.max(jnp.abs(l[1]))) > 0.0
+
+
+def test_accumulate_counts_only_visible():
+    accum = jnp.zeros((4,))
+    seen = jnp.zeros((4,))
+    g = jnp.array([[1.0, 0, 0], [0, 0, 0], [0, 3.0, 4.0], [1, 1, 1]])
+    alive = jnp.array([True, True, True, False])
+    accum, seen = dn.accumulate_grad_stats(accum, seen, g, alive)
+    np.testing.assert_allclose(np.asarray(accum), [1.0, 0.0, 5.0, 0.0])
+    np.testing.assert_allclose(np.asarray(seen), [1, 0, 1, 0])
+
+
+def test_fit_adaptive_end_to_end():
+    """Start under-parameterised, densify during the fit: the live set must
+    grow and the fit must improve on the starting PSNR."""
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    cam = Camera(0.0, 0.0, -4.0, width=w, height=h)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    target, _ = render_stats(full, cam, CFG)
+    target = np.asarray(target[..., :3])
+
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+    img0, _ = render_stats({k: jnp.asarray(v) for k, v in start.items()},
+                           cam, CFG)
+    psnr0 = float(losses.psnr(img0[..., :3], jnp.asarray(target)))
+
+    # densify early (stop at 100), then let the optimiser settle; measured
+    # (CPU, deterministic seeds): start 29.42 dB, plain fit 29.62 dB,
+    # adaptive 30.17 dB with the live set grown 6 -> 24
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=30,
+                          stop_step=100)
+    tc = TrainConfig(steps=150, lambda_dssim=0.0, lr_means=3e-3,
+                     lr_scales=2e-2, lr_opacities=1e-1, lr_colors=2.0)
+    fitted, alive, hist = dn.fit_scene_adaptive(
+        start, [target], [cam], CFG, dc, tc=tc, verbose=False, log_every=75)
+    assert int(jnp.sum(alive)) > 6, "densification never allocated"
+    imgf, _ = render_stats(
+        {k: jnp.asarray(v) for k, v in fitted.items()}, cam, CFG)
+    psnrf = float(losses.psnr(imgf[..., :3], jnp.asarray(target)))
+    assert psnrf > psnr0 + 0.4, (psnr0, psnrf)
+    # compaction round-trip keeps only live rows
+    compact = dn.compact_params(fitted, alive)
+    assert compact["means"].shape[0] == int(jnp.sum(alive))
