@@ -24,6 +24,7 @@ REPEATS = 3
 VARIANTS = [
     ("direct", None, 128), ("direct", 8, 128),
     ("sos", None, 128), ("sos", 8, 128),
+    ("sep", None, 128), ("sep", 8, 128),
     ("direct", None, 256), ("direct", 8, 256),
 ]
 
@@ -118,17 +119,19 @@ def main():
             f"composite fwd {fwd_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
 
-    # backward: exit-granularity variants (power form fixed to the default)
-    pc.POWER_FORM = "direct"
+    # backward: power-form x exit-granularity variants (the backward
+    # recompute follows POWER_FORM, so it is a bwd knob too)
     pc.FWD_EXIT_ROWS = None
-    for rows in (None, 8):
+    for form, rows in (("direct", None), ("direct", 8),
+                       ("sep", None), ("sep", 8)):
+        pc.POWER_FORM = form
         pc.BWD_EXIT_ROWS = rows
         pc._make_composite_op.cache_clear()
         t0 = time.time()
         fb_ms = time_fn(jax.jit(functools.partial(comp_bwd, c=cfg)),
                         sf2, bounds)
-        log(f"bwd_exit_rows={str(rows):5s}: composite fwd+bwd "
-            f"{fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
+        log(f"bwd form={form:6s} exit_rows={str(rows):5s}: composite "
+            f"fwd+bwd {fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
 
 
 if __name__ == "__main__":

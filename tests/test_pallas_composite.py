@@ -113,6 +113,8 @@ def test_pallas_backward_saturated_scene():
     ("sos", 8, 8),
     ("direct", 8, None),
     ("sos", None, 8),
+    ("sep", 8, 8),
+    ("sep", None, None),
 ])
 def test_pallas_knob_matrix_matches_jnp(monkeypatch, form, fwd_rows, bwd_rows):
     """The sweepable kernel knobs (POWER_FORM, FWD/BWD_EXIT_ROWS) must all
@@ -142,3 +144,34 @@ def test_pallas_knob_matrix_matches_jnp(monkeypatch, form, fwd_rows, bwd_rows):
         scale = np.abs(g_j[k]).max() + 1e-12
         assert np.abs(g_p[k] - g_j[k]).max() / scale < 5e-3, k
     pc._make_composite_op.cache_clear()
+
+
+def test_sep_power_form_bit_identical_to_sos(monkeypatch):
+    """"sep" only amortizes subexpressions constant along a pixel axis;
+    operation order is unchanged, so images and gradients must equal the
+    "sos" form EXACTLY (the hardware sweep can switch between them without
+    moving the numerics)."""
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
+
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(80, seed=33, extent=1.5)
+    scene["opacities"] = np.clip(scene["opacities"], 0.2, 0.9)
+    cam = Camera(0.0, 0.0, -5.0, width=w, height=h)
+    target = jnp.full((h, w, 3), 0.3)
+    cfg_p = dataclasses.replace(BASE, use_pallas=True)
+
+    outs = {}
+    for form in ("sos", "sep"):
+        monkeypatch.setattr(pc, "POWER_FORM", form)
+        pc._make_composite_op.cache_clear()
+        img, _ = _run(scene, cam, cfg_p, w, h)
+        loss, g = _run(scene, cam, cfg_p, w, h, grad=True, target=target)
+        outs[form] = (np.asarray(img), float(loss),
+                      {k: np.asarray(v) for k, v in g.items()})
+    pc._make_composite_op.cache_clear()
+
+    np.testing.assert_array_equal(outs["sep"][0], outs["sos"][0])
+    assert outs["sep"][1] == outs["sos"][1]
+    for k in outs["sos"][2]:
+        np.testing.assert_array_equal(outs["sep"][2][k], outs["sos"][2][k],
+                                      err_msg=k)
