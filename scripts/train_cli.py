@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Training CLI -- fit a splat scene to rendered target views.
+
+The reference is a forward-only renderer; this drives the framework's
+differentiable capability end-to-end from the command line: load a 3DGS
+PLY, render target views on an orbit, re-fit a (smaller / randomised)
+splat set to those views -- optionally growing it with adaptive density
+control -- and write the fitted scene back out as a PLY plus a
+target-vs-fit comparison PNG and a JSON loss/PSNR history.
+
+Examples:
+  python scripts/train_cli.py scene.ply -o fitted.ply --steps 300
+  python scripts/train_cli.py scene.ply --init subset --init-count 500 \
+      --densify --capacity 2000 --platform cpu --no-pallas
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("scene", help="target 3DGS PLY file")
+    ap.add_argument("-o", "--output", default="fitted.ply")
+    ap.add_argument("--out-png", default="fit_compare.png",
+                    help="side-by-side target | fitted render of view 0")
+    ap.add_argument("--history", default="fit_history.json")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--views", type=int, default=6,
+                    help="number of orbit target views")
+    ap.add_argument("--orbit-radius", type=float, default=5.0)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--init", choices=["subset", "noise"], default="subset",
+                    help="fit from a random subset of the target splats, or "
+                         "from subset positions with perturbed appearance")
+    ap.add_argument("--init-count", type=int, default=0,
+                    help="initial splat count (0 = target count / 4)")
+    ap.add_argument("--densify", action="store_true",
+                    help="enable adaptive density control")
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="densify capacity (0 = 4x init count)")
+    ap.add_argument("--densify-interval", type=int, default=100)
+    ap.add_argument("--densify-start", type=int, default=50,
+                    help="first step eligible for densification")
+    ap.add_argument("--grad-threshold", type=float, default=2e-4)
+    ap.add_argument("--lambda-dssim", type=float, default=0.2)
+    ap.add_argument("--lr-scale", type=float, default=1.0,
+                    help="multiplier on all default learning rates")
+    ap.add_argument("--tile-px", type=int, default=32)
+    ap.add_argument("--capacity-factor", type=float, default=8.0)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--platform", default="auto",
+                    choices=["auto", "cpu", "tpu"])
+    args = ap.parse_args()
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from openglgaussiansplattingrenderer_tpu import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.io.png import save_png
+    from openglgaussiansplattingrenderer_tpu.render import render_stats
+    from openglgaussiansplattingrenderer_tpu.train import (
+        DensifyConfig, TrainConfig, fit_scene, fit_scene_adaptive, losses,
+    )
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+    from openglgaussiansplattingrenderer_tpu.viewer.offline import orbit_cameras
+
+    cfg = RenderConfig.for_resolution(
+        args.width, args.height, tile_px=args.tile_px,
+        use_pallas=not args.no_pallas, chunk=args.chunk,
+        dup_capacity_factor=args.capacity_factor)
+
+    scene = ply_io.load_splats(args.scene)
+    target_params = {k: jnp.asarray(v) for k, v in scene.items()
+                     if k != "sh_rest"}
+    n = int(target_params["means"].shape[0])
+    center = np.asarray(target_params["means"]).mean(axis=0)
+    extent = float(np.abs(np.asarray(target_params["means"]) - center).max())
+    print(f"target: {n} splats, extent {extent:.2f}", file=sys.stderr)
+
+    cams = orbit_cameras(center, args.orbit_radius, args.views,
+                         width=args.width, height=args.height)
+    targets = []
+    for cam in cams:
+        img, stats = render_stats(target_params, cam, cfg)
+        if int(stats["overflow"]) > 0:
+            print(f"WARNING: target render overflow {int(stats['overflow'])} "
+                  f"-- raise --capacity-factor", file=sys.stderr)
+        targets.append(np.asarray(img[..., :3]))
+
+    rng = np.random.default_rng(args.seed)
+    n0 = args.init_count or max(8, n // 4)
+    idx = rng.choice(n, size=min(n0, n), replace=False)
+    start = {k: np.asarray(v)[idx] for k, v in target_params.items()}
+    if args.init == "noise":
+        start["colors"] = np.clip(
+            start["colors"] + rng.normal(0, 40, start["colors"].shape),
+            0, 255).astype(np.float32)
+        start["opacities"] = np.full(len(idx), 0.5, np.float32)
+
+    tc = TrainConfig(
+        steps=args.steps, lambda_dssim=args.lambda_dssim,
+        lr_means=1.6e-4 * args.lr_scale, lr_scales=5e-3 * args.lr_scale,
+        lr_quats=1e-3 * args.lr_scale, lr_opacities=5e-2 * args.lr_scale,
+        lr_colors=2.5e-1 * args.lr_scale)
+
+    if args.densify:
+        capacity = args.capacity or 4 * len(idx)
+        dc = DensifyConfig(capacity=capacity,
+                           grad_threshold=args.grad_threshold,
+                           scene_extent=extent,
+                           interval=args.densify_interval,
+                           start_step=args.densify_start,
+                           stop_step=int(args.steps * 0.8))
+        fitted, alive, hist = fit_scene_adaptive(
+            start, targets, cams, cfg, dc, tc=tc, seed=args.seed,
+            log_every=args.log_every)
+        out_params = dn.compact_params(fitted, alive)
+        fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
+    else:
+        fitted, hist = fit_scene(start, targets, cams, cfg, tc,
+                                 log_every=args.log_every)
+        out_params = {k: np.asarray(v) for k, v in fitted.items()}
+        fitted_render = fitted
+
+    ply_io.save_ply(args.output, out_params["means"], out_params["quats"],
+                    out_params["scales"], out_params["opacities"],
+                    out_params["colors"])
+    print(f"wrote {args.output} ({out_params['means'].shape[0]} splats)",
+          file=sys.stderr)
+
+    img, _ = render_stats(fitted_render, cams[0], cfg)
+    fit0 = np.asarray(img[..., :3])
+    psnr = float(losses.psnr(jnp.asarray(fit0), jnp.asarray(targets[0])))
+    save_png(args.out_png, np.concatenate([targets[0], fit0], axis=1))
+    with open(args.history, "w") as f:
+        json.dump({"history": hist, "final_psnr_view0": psnr,
+                   "splats": int(out_params["means"].shape[0])}, f, indent=1)
+    print(f"view-0 PSNR {psnr:.2f} dB; wrote {args.out_png}, {args.history}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

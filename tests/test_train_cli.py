@@ -1,0 +1,42 @@
+"""Training CLI smoke test: fit-to-target with densification from the
+command line, PLY out, comparison PNG, history JSON."""
+
+import json
+import os
+import subprocess
+import sys
+
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+
+import numpy as np
+
+
+def test_train_cli_densify_roundtrip(tmp_path):
+    s = ply_io.make_synthetic_scene(40, seed=9, extent=1.2)
+    s["opacities"] = np.clip(s["opacities"], 0.5, 0.9)
+    scene = str(tmp_path / "target.ply")
+    ply_io.save_ply(scene, s["means"], s["quats"], s["scales"],
+                    s["opacities"], s["colors"])
+    out_ply = str(tmp_path / "fitted.ply")
+    out_png = str(tmp_path / "cmp.png")
+    out_hist = str(tmp_path / "hist.json")
+    r = subprocess.run(
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
+         "--out-png", out_png, "--history", out_hist,
+         "--platform", "cpu", "--no-pallas", "--width", "64", "--height",
+         "64", "--views", "2", "--orbit-radius", "4.0", "--steps", "40",
+         "--init-count", "10", "--densify", "--capacity", "24",
+         "--densify-interval", "15", "--densify-start", "5",
+         "--grad-threshold", "1e-6",
+         "--chunk", "32", "--capacity-factor", "32", "--log-every", "20"],
+        capture_output=True, text=True, timeout=560,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in (out_ply, out_png, out_hist):
+        assert os.path.exists(f), f
+    hist = json.load(open(out_hist))
+    assert hist["splats"] > 10, "densification never grew the set"
+    assert np.isfinite(hist["final_psnr_view0"])
+    # the written PLY loads back through the normal loader
+    back = ply_io.load_splats(out_ply)
+    assert back["means"].shape[0] == hist["splats"]
