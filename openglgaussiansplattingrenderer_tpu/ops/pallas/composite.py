@@ -190,12 +190,17 @@ def _sep_power(s11, s12, s22, u0, v0, b, pw, pb):
     depends on y only, so over a pixel-row block (pb rows x pw columns) the
     y-terms cost (pb, chunk) work and the x-term (pw, chunk) work; only the
     final add / square / add run per (pixel, record) pair (~4 VPU ops vs
-    ~9 for ``_sos_power``). Bit-identical to ``_sos_power``: the operation
-    order inside u, v and the final combination is unchanged, broadcasting
-    just amortizes subexpressions that are constant along a pixel axis.
-    Layout: (pb, pw, chunk) temporaries put pw on sublanes and records on
-    lanes; the collapse to the kernel's (pb*pw, chunk) compute shape is a
-    leading-dim reshape."""
+    ~9 for ``_sos_power``). In exact arithmetic the operation order inside
+    u, v and the final combination is unchanged -- broadcasting just
+    amortizes subexpressions constant along a pixel axis -- so interpret
+    mode is bit-identical to ``_sos_power`` (asserted in the test suite).
+    On hardware the compiler may contract multiply-adds differently for
+    the two expression shapes (ulp-level divergence on borderline pixels);
+    that is within the knob-matrix oracle tolerances, and the fwd/bwd
+    keep-decision match is unaffected because the backward recompute uses
+    the same form as the forward. Layout: (pb, pw, chunk) temporaries put
+    pw on sublanes and records on lanes; the collapse to the kernel's
+    (pb*pw, chunk) compute shape is a leading-dim reshape."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, pw, 1), 1)
     fxc = idx.astype(jnp.float32)                       # (1, pw, 1)
     yrow = (jax.lax.broadcasted_iota(jnp.int32, (pb, 1, 1), 0)
@@ -578,7 +583,8 @@ BWD_TEMP_BUDGET = 131_072
 FWD_EXIT_ROWS = None        # fwd pixel-block rows cap = early-exit granularity
 BWD_EXIT_ROWS = None        # bwd pixel-block rows cap = early-exit granularity
 POWER_FORM = "direct"       # "sos" | "sep" | "direct" (sweep knob; same
-                            # semantics; "sep" is bit-identical to "sos")
+                            # semantics; "sep" == "sos" bit-exactly in
+                            # interpret mode, to ulps on hardware)
 
 
 def _fwd_call(rec, bounds, ox, oy, *, num_tiles, chunk, pw, ph, p,

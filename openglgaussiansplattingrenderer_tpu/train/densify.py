@@ -230,7 +230,6 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     params at full capacity, alive mask, history). The render pipeline
     never sees a shape change -- one compiled program serves the whole run.
     """
-    from openglgaussiansplattingrenderer_tpu.render import camera_args
     from openglgaussiansplattingrenderer_tpu.train import trainer
 
     tc = tc or trainer.TrainConfig()
@@ -244,12 +243,7 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     seen_count = jnp.zeros((dc.capacity,), jnp.float32)
     key = jax.random.PRNGKey(seed)
 
-    cam_bundles = []
-    for cam in cameras:
-        a = camera_args(cam)
-        cam_bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
-                            a["focal_x"], a["focal_y"], a["tan_fovx"],
-                            a["tan_fovy"]))
+    cam_bundles = trainer.camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
 
     history = []

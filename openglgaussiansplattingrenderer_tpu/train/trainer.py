@@ -126,8 +126,22 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
         return TrainState(raw, opt_state, state.step + 1), metrics
 
     run.init = lambda raw: TrainState(raw, optimizer.init(raw), 0)
-    run.optimizer = optimizer
     return run
+
+
+def camera_bundles(cameras):
+    """Per-camera jitted-step argument tuples (view, vp, focals, tanfovs) --
+    shared by ``fit_scene`` and ``densify.fit_scene_adaptive`` so the
+    argument-order quirks live in one place."""
+    from openglgaussiansplattingrenderer_tpu.render import camera_args
+
+    bundles = []
+    for cam in cameras:
+        a = camera_args(cam)
+        bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
+                        a["focal_x"], a["focal_y"], a["tan_fovx"],
+                        a["tan_fovy"]))
+    return bundles
 
 
 def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
@@ -139,19 +153,12 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     targets: list of (H, W, 3) arrays; cameras: list of Camera. Returns
     (activated params, history).
     """
-    from openglgaussiansplattingrenderer_tpu.render import camera_args
-
     tc = tc or TrainConfig()
     width = width or cameras[0].width
     height = height or cameras[0].height
     step = make_train_step(cfg, tc, width, height)
     state = step.init(raw_from_params(params))
-    cam_bundles = []
-    for cam in cameras:
-        a = camera_args(cam)
-        cam_bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
-                            a["focal_x"], a["focal_y"], a["tan_fovx"],
-                            a["tan_fovy"]))
+    cam_bundles = camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
 
     history = []

@@ -133,6 +133,12 @@ def main():
         log(f"bwd form={form:6s} exit_rows={str(rows):5s}: composite "
             f"fwd+bwd {fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
 
+    # restore module defaults so anything appended below measures what its
+    # label says
+    pc.POWER_FORM = "direct"
+    pc.BWD_EXIT_ROWS = None
+    pc._make_composite_op.cache_clear()
+
 
 if __name__ == "__main__":
     main()

@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openglgaussiansplattingrenderer_tpu.camera import Camera
 from openglgaussiansplattingrenderer_tpu.config import RenderConfig
@@ -29,16 +30,26 @@ def _raw_scene(n, seed=3, **kw):
     return trainer.raw_from_params(params), params
 
 
-def test_pad_renders_identically():
-    """Dead (padding) rows must contribute nothing to the image."""
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_pad_renders_identically(use_pallas):
+    """Dead (padding) rows must contribute nothing to the image -- on BOTH
+    paths: the jnp oracle and the Pallas pipeline whose expand-time
+    reachability cull the dead-row parking design relies on (parked rows
+    sit below the 1/255 alpha cutoff, so the cull must drop them)."""
+    cfg = dataclasses.replace(CFG, use_pallas=use_pallas)
     raw, params = _raw_scene(12)
     padded, alive = dn.pad_to_capacity(raw, 32)
     assert int(jnp.sum(alive)) == 12
     cam = Camera(0.0, 0.0, -4.0, width=64, height=64)
-    img0, _ = render_stats(params, cam, CFG)
-    img1, _ = render_stats(trainer.params_from_raw(padded), cam, CFG)
+    img0, stats0 = render_stats(params, cam, cfg)
+    img1, stats1 = render_stats(trainer.params_from_raw(padded), cam, cfg)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
                                atol=1e-5)
+    if use_pallas:
+        # every parked row's records die in the reachability cull
+        extra = int(stats1["culled_unreachable"]) - int(
+            stats0["culled_unreachable"])
+        assert extra >= 20, (stats0, stats1)
 
 
 def _dc(**kw):
