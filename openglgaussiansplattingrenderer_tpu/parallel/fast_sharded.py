@@ -31,6 +31,16 @@ design SURVEY.md section 5 prescribes (long-context row):
 Per-chip sort/composite work is O(C/D) (records ride at most two local sorts
 of ~2C/D rows), vs O(C) for the round-1 all-gather design.
 
+KNOWN-UNMEASURED RISK (single-chip hardware here; the exchange has only run
+on virtual CPU meshes): the bucket packing below is an XLA gather of
+(ndev*cap_exch) rows x 11 fields -- the op class round 1 measured as
+pathological at record scale on TPU (ARCHITECTURE.md: (C, 16) row gather =
+6.8 s at 8M). ``src`` is piecewise-contiguous ascending (records arrive
+dest-sorted), so if real multi-chip profiling confirms the gather is hot,
+the fix is the same one the expand kernel uses: a Pallas one-hot MXU
+segment gather over 128-blocks (or sort-based packing: key each record by
+its bucket row and lax.sort against ``rows`` dummy rows).
+
 The reference is strictly single-GPU (SURVEY.md section 2.4); this layer is
 the capability the north star adds on top.
 """
