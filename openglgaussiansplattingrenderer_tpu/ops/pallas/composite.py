@@ -9,9 +9,10 @@ blending in ``ops/compositing.py``. Early exit: once every pixel in the tile
 is saturated past 0.99 accumulated alpha, remaining chunks are skipped
 (``draw.glsl:129-133``'s per-pixel break, hoisted to chunk granularity --
 exact, because the include mask would zero them anyway); with
-``FWD_EXIT_ROWS`` set, the forward also exits per pixel-row block, a
-sub-tile granularity between the reference's per-pixel break and the
-chunk-level one.
+``FWD_EXIT_ROWS`` set, the forward also exits per pixel-row block, and with
+``SUB_CHUNKS`` > 1 both kernels additionally gate the record axis inside a
+chunk (saturation mid-chunk skips the tail records) -- two granularity axes
+between the reference's per-pixel break and the chunk-level one.
 
 Layout choices (TPU/Mosaic):
 - records are packed *transposed* (NF, C) float32 [mx; my; A; B; C; op; r; g;
@@ -283,56 +284,69 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
             mxl = rec[0:1, :] - ox.astype(jnp.float32)
             myl = rec[1:2, :] - oy.astype(jnp.float32)
             # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
-            # and give the early exit sub-tile granularity
+            # and give the early exit sub-tile granularity; SUB_CHUNKS
+            # additionally splits the record axis so saturation mid-chunk
+            # skips the tail records too (transmittance carried through
+            # out_ref between sub-chunks -- with SUB_CHUNKS == 1 this is
+            # exactly the previous whole-chunk computation)
+            nsub = _num_sub(chunk)
+            sub = chunk // nsub
             for b in range(nblk):
                 rows = slice(b * pblk, (b + 1) * pblk)
+                for s in range(nsub):
+                    sl = slice(s * sub, (s + 1) * sub)
 
-                # block-level early exit: saturation is spatially uneven,
-                # so a block of rows often saturates chunks before the
-                # whole tile does
-                @pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)
-                def _(b=b, rows=rows):
-                    s11, s12, s22, u0, v0, opm = sos
-                    trans = out_ref[0, rows, 3:4]     # (pblk, 1)
-                    fx, fy = _block_coords(b, pw, pb)
-                    if POWER_FORM == "sos":
-                        power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
-                        alpha = jnp.minimum(alpha_max, jnp.exp(power) * opm)
-                        alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
-                    elif POWER_FORM == "sep":  # sos, row terms amortized
-                        power = _sep_power(s11, s12, s22, u0, v0, b, pw, pb)
-                        alpha = jnp.minimum(alpha_max, jnp.exp(power) * opm)
-                        alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
-                    else:  # direct quadratic (perf comparison; same maths)
-                        dx = fx - mxl
-                        dy = fy - myl
-                        power = (-0.5 * (rec[2:3, :] * dx * dx
-                                         + rec[4:5, :] * dy * dy)
-                                 - rec[3:4, :] * dx * dy)
-                        alpha = jnp.minimum(alpha_max, jnp.exp(power) * opm)
-                        alpha = jnp.where(
-                            (power <= 0.0) & (alpha >= alpha_min), alpha, 0.0)
+                    # (row-block, sub-chunk) early exit: saturation is
+                    # spatially uneven and happens mid-chunk -- both axes
+                    # of granularity approach draw.glsl's per-pixel break
+                    @pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)
+                    def _(b=b, rows=rows, s=s, sl=sl):
+                        s11, s12, s22, u0, v0, opm = (a[:, sl] for a in sos)
+                        trans = out_ref[0, rows, 3:4]     # (pblk, 1)
+                        fx, fy = _block_coords(b, pw, pb)
+                        if POWER_FORM == "sos":
+                            power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
+                            alpha = jnp.minimum(alpha_max,
+                                                jnp.exp(power) * opm)
+                            alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+                        elif POWER_FORM == "sep":  # sos, row terms amortized
+                            power = _sep_power(s11, s12, s22, u0, v0,
+                                               b, pw, pb)
+                            alpha = jnp.minimum(alpha_max,
+                                                jnp.exp(power) * opm)
+                            alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+                        else:  # direct quadratic (perf comparison; same maths)
+                            dx = fx - mxl[:, sl]
+                            dy = fy - myl[:, sl]
+                            power = (-0.5 * (rec[2:3, sl] * dx * dx
+                                             + rec[4:5, sl] * dy * dy)
+                                     - rec[3:4, sl] * dx * dy)
+                            alpha = jnp.minimum(alpha_max,
+                                                jnp.exp(power) * opm)
+                            alpha = jnp.where(
+                                (power <= 0.0) & (alpha >= alpha_min),
+                                alpha, 0.0)
 
-                    one_m = 1.0 - alpha
-                    s_excl = trans * _cumprod_excl_lanes(one_m)
-                    inc = s_excl > thresh
-                    w = jnp.where(inc, alpha * s_excl, 0.0)
-                    # colour accumulation as one MXU matmul contracting
-                    # lanes (exact enough at HIGHEST: replaces 3 VPU
-                    # mul+lane-reduces)
-                    out_ref[0, rows, 0:3] += jax.lax.dot_general(
-                        w, rec[6:9, :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    # new transmittance = inclusive prefix at the last
-                    # included lane; the prefix is non-increasing along
-                    # lanes (factors in [0,1]) and ``inc`` is a prefix
-                    # mask, so it's the masked min -- replaces a second
-                    # log2(chunk)-step cumprod scan.
-                    out_ref[0, rows, 3:4] = jnp.min(
-                        jnp.where(inc, s_excl * one_m, trans),
-                        axis=1, keepdims=True)
+                        one_m = 1.0 - alpha
+                        s_excl = trans * _cumprod_excl_lanes(one_m)
+                        inc = s_excl > thresh
+                        w = jnp.where(inc, alpha * s_excl, 0.0)
+                        # colour accumulation as one MXU matmul contracting
+                        # lanes (exact enough at HIGHEST: replaces 3 VPU
+                        # mul+lane-reduces)
+                        out_ref[0, rows, 0:3] += jax.lax.dot_general(
+                            w, rec[6:9, sl],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        # new transmittance = inclusive prefix at the last
+                        # included lane; the prefix is non-increasing along
+                        # lanes (factors in [0,1]) and ``inc`` is a prefix
+                        # mask, so it's the masked min -- replaces a second
+                        # log2(chunk)-step cumprod scan.
+                        out_ref[0, rows, 3:4] = jnp.min(
+                            jnp.where(inc, s_excl * one_m, trans),
+                            axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, nch, body, None)
 
@@ -446,19 +460,26 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         mxl = mx - ox.astype(jnp.float32)
         myl = my - oy.astype(jnp.float32)
 
-        # pixel-row blocks bound the (pblk, chunk) temps; per-record grads
-        # accumulate across blocks in registers (single block) or by
-        # read-modify-writing the dbuf slot (multiple blocks, so each block
-        # can be saturation-gated like the forward: a saturated block's
-        # grads and carry updates are exactly zero/no-ops)
-        acc_box = [None]
+        # pixel-row blocks bound the (pblk, chunk) temps; grads accumulate
+        # by read-modify-writing the dbuf slot so every (row-block,
+        # sub-chunk) can be saturation-gated like the forward: a saturated
+        # block's grads and carry updates are exactly zero/no-ops. The
+        # sub-chunk boundaries MUST match the forward's (shared SUB_CHUNKS
+        # knob) -- transmittance carries are re-rounded at each boundary, so
+        # different boundaries would flip borderline include decisions.
+        nsub = _num_sub(chunk)
+        sub = chunk // nsub
 
-        def blk(b, rows):
+        def blk(b, rows, s, sl):
             g_rgb = g_ref[0, rows, 0:3]               # (pblk, 3)
             g_t = g_ref[0, rows, 3:4]
             t_fin = out_res_ref[0, rows, 3:4]
             trans = state[rows, 0:1]
             d_carry = state[rows, 1:2]
+            s11_, s12_, s22_, u0_, v0_, opm_ = (
+                a[:, sl] for a in (s11, s12, s22, u0, v0, opm))
+            mxl_, myl_ = mxl[:, sl], myl[:, sl]
+            ca_, cb_, cc_ = ca[:, sl], cb[:, sl], cc[:, sl]
 
             # the recompute MUST make the same keep/include decisions as the
             # forward down to the last ulp (a flipped borderline record
@@ -466,34 +487,34 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
             # it follows POWER_FORM exactly
             fx, fy = _block_coords(b, pw, pb)
             if POWER_FORM == "sos":
-                power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
-                alpha_pre = jnp.exp(power) * opm
+                power = _sos_power(s11_, s12_, s22_, u0_, v0_, fx, fy)
+                alpha_pre = jnp.exp(power) * opm_
                 alpha = jnp.minimum(alpha_max, alpha_pre)
                 keep = alpha >= alpha_min
             elif POWER_FORM == "sep":
-                power = _sep_power(s11, s12, s22, u0, v0, b, pw, pb)
-                alpha_pre = jnp.exp(power) * opm
+                power = _sep_power(s11_, s12_, s22_, u0_, v0_, b, pw, pb)
+                alpha_pre = jnp.exp(power) * opm_
                 alpha = jnp.minimum(alpha_max, alpha_pre)
                 keep = alpha >= alpha_min
             else:
-                dx = fx - mxl
-                dy = fy - myl
-                power = (-0.5 * (ca * dx * dx + cc * dy * dy)
-                         - cb * dx * dy)
-                alpha_pre = jnp.exp(power) * opm
+                dx = fx - mxl_
+                dy = fy - myl_
+                power = (-0.5 * (ca_ * dx * dx + cc_ * dy * dy)
+                         - cb_ * dx * dy)
+                alpha_pre = jnp.exp(power) * opm_
                 alpha = jnp.minimum(alpha_max, alpha_pre)
                 keep = (power <= 0.0) & (alpha >= alpha_min)
             alpha = jnp.where(keep, alpha, 0.0)
 
             one_m = 1.0 - alpha
-            s_excl = trans * _cumprod_excl_lanes(one_m)   # (pblk, chunk)
+            s_excl = trans * _cumprod_excl_lanes(one_m)   # (pblk, sub)
             inc = s_excl > thresh
             abar = jnp.where(inc, alpha, 0.0)
             w = abar * s_excl
 
             # e_k = g_rgb . colour_k ; V_k = inclusive prefix of w*e
-            e = (rec[6:7, :] * g_rgb[:, 0:1] + rec[7:8, :] * g_rgb[:, 1:2]
-                 + rec[8:9, :] * g_rgb[:, 2:3])       # (pblk, chunk)
+            e = (rec[6:7, sl] * g_rgb[:, 0:1] + rec[7:8, sl] * g_rgb[:, 1:2]
+                 + rec[8:9, sl] * g_rgb[:, 2:3])      # (pblk, sub)
             we = w * e
             v = _cumsum_lanes(we)
             # d L / d abar_k = e S_k - (suffix colour + transmittance terms)
@@ -515,47 +536,51 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
                 basis, jnp.concatenate([dpower, w], axis=1),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (10, 2*chunk)
-            md = mom[:, 0:chunk]                       # moments of dpower
-            mw = mom[:, chunk:2 * chunk]               # moments of w
+                precision=jax.lax.Precision.HIGHEST)   # (10, 2*sub)
+            md = mom[:, 0:sub]                         # moments of dpower
+            mw = mom[:, sub:2 * sub]                   # moments of w
             s1, sx, sy = md[0:1, :], md[1:2, :], md[2:3, :]
             sxx, sxy, syy = md[3:4, :], md[4:5, :], md[5:6, :]
 
-            dxs = sx - mxl * s1                        # sum dpower*dx
-            dys = sy - myl * s1
+            dxs = sx - mxl_ * s1                       # sum dpower*dx
+            dys = sy - myl_ * s1
             grads = jnp.concatenate([
-                ca * dxs + cb * dys,                   # d mx
-                cc * dys + cb * dxs,                   # d my
-                -0.5 * (sxx - 2.0 * mxl * sx + mxl * mxl * s1),
-                -(sxy - mxl * sy - myl * sx + mxl * myl * s1),
-                -0.5 * (syy - 2.0 * myl * sy + myl * myl * s1),
+                ca_ * dxs + cb_ * dys,                 # d mx
+                cc_ * dys + cb_ * dxs,                 # d my
+                -0.5 * (sxx - 2.0 * mxl_ * sx + mxl_ * mxl_ * s1),
+                -(sxy - mxl_ * sy - myl_ * sx + mxl_ * myl_ * s1),
+                -0.5 * (syy - 2.0 * myl_ * sy + myl_ * myl_ * s1),
                 # d opacity: sum dalpha*exp(power) = sum dpower / op
                 # (unclamped under the gate, where alpha == exp(power)*op)
-                s1 / jnp.maximum(op, 1e-12),
+                s1 / jnp.maximum(op[:, sl], 1e-12),
                 mw[6:9, :],                            # d colour
-            ], axis=0)                                 # (9, chunk)
-            if nblk > 1:
-                dbuf[slot] = dbuf[slot] + jnp.concatenate(
-                    [grads, jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
-            else:
-                acc_box[0] = (grads if acc_box[0] is None
-                              else acc_box[0] + grads)
+            ], axis=0)                                 # (9, sub)
+            # pad to the full (NF, chunk) slot width at this sub-chunk's
+            # static lane offset and accumulate (lane-sliced VMEM writes at
+            # non-128 offsets are not portable; a full-width add is)
+            pads = []
+            if s > 0:
+                pads.append(jnp.zeros((9, s * sub), jnp.float32))
+            pads.append(grads)
+            if (s + 1) * sub < chunk:
+                pads.append(jnp.zeros((9, chunk - (s + 1) * sub), jnp.float32))
+            wide = jnp.concatenate(
+                [jnp.concatenate(pads, axis=1),
+                 jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
+            dbuf[slot] = dbuf[slot] + wide
             # carry updates: masked-min == prefix product at the last
             # included lane (see forward kernel); v's tail is the we-sum
             state[rows, 0:1] = jnp.min(
                 jnp.where(inc, s_excl * one_m, trans), axis=1, keepdims=True)
             state[rows, 1:2] = d_carry - v[:, -1:]
 
-        if nblk > 1:
-            dbuf[slot] = jnp.zeros((NF, chunk), jnp.float32)
-            for b in range(nblk):
-                rows = slice(b * pblk, (b + 1) * pblk)
+        dbuf[slot] = jnp.zeros((NF, chunk), jnp.float32)
+        for b in range(nblk):
+            rows = slice(b * pblk, (b + 1) * pblk)
+            for s in range(nsub):
+                sl = slice(s * sub, (s + 1) * sub)
                 pl.when(jnp.max(state[rows, 0:1]) > thresh)(
-                    functools.partial(blk, b, rows))
-        else:
-            blk(0, slice(0, pblk))
-            dbuf[slot] = jnp.concatenate(
-                [acc_box[0], jnp.zeros((NF - 9, chunk), jnp.float32)], axis=0)
+                    functools.partial(blk, b, rows, s, sl))
 
     jax.lax.fori_loop(0, nch, body, None)
     # drain the last (up to) two in-flight output DMAs before the grid
@@ -585,6 +610,21 @@ BWD_EXIT_ROWS = None        # bwd pixel-block rows cap = early-exit granularity
 POWER_FORM = "direct"       # "sos" | "sep" | "direct" (sweep knob; same
                             # semantics; "sep" == "sos" bit-exactly in
                             # interpret mode, to ulps on hardware)
+SUB_CHUNKS = 1              # record-axis early-exit granularity: split each
+                            # streamed chunk into this many gated sub-chunks
+                            # (1 = whole-chunk, the previous behaviour). One
+                            # knob for BOTH kernels: the backward recompute
+                            # must carry transmittance at the same
+                            # boundaries as the forward or borderline
+                            # include decisions diverge.
+
+
+def _num_sub(chunk: int) -> int:
+    """Largest divisor of ``chunk`` not exceeding the SUB_CHUNKS knob."""
+    n = max(1, int(SUB_CHUNKS))
+    while chunk % n:
+        n -= 1
+    return n
 
 
 def _fwd_call(rec, bounds, ox, oy, *, num_tiles, chunk, pw, ph, p,

@@ -20,12 +20,15 @@ NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 ITERS = 20
 REPEATS = 3
-# (power formulation, exit rows, chunk); exit rows None -> whole tile
+# (power formulation, exit rows, chunk, sub_chunks);
+# exit rows None -> whole tile; sub_chunks 1 -> whole-chunk gating
 VARIANTS = [
-    ("direct", None, 128), ("direct", 8, 128),
-    ("sos", None, 128), ("sos", 8, 128),
-    ("sep", None, 128), ("sep", 8, 128),
-    ("direct", None, 256), ("direct", 8, 256),
+    ("direct", None, 128, 1), ("direct", 8, 128, 1),
+    ("sos", None, 128, 1), ("sos", 8, 128, 1),
+    ("sep", None, 128, 1), ("sep", 8, 128, 1),
+    ("direct", None, 256, 1), ("direct", 8, 256, 1),
+    ("direct", 8, 128, 4), ("sep", 8, 128, 4),
+    ("direct", 8, 256, 8),
 ]
 
 
@@ -108,35 +111,41 @@ def main():
 
         return jax.value_and_grad(loss)(fields)
 
-    for form, rows, chunk in VARIANTS:
+    for form, rows, chunk, subc in VARIANTS:
         pc.POWER_FORM = form
         pc.FWD_EXIT_ROWS = rows
+        pc.SUB_CHUNKS = subc
         pc._make_composite_op.cache_clear()
         c = dataclasses.replace(cfg, chunk=chunk)
         t0 = time.time()
         fwd_ms = time_fn(jax.jit(functools.partial(comp, c=c)), sf2, bounds)
-        log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk}: "
-            f"composite fwd {fwd_ms:7.2f} ms  "
+        log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk} "
+            f"sub={subc}: composite fwd {fwd_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
 
-    # backward: power-form x exit-granularity variants (the backward
-    # recompute follows POWER_FORM, so it is a bwd knob too)
+    # backward: power-form x exit-granularity x sub-chunk variants (the
+    # backward recompute follows POWER_FORM and SUB_CHUNKS, so they are
+    # bwd knobs too)
     pc.FWD_EXIT_ROWS = None
-    for form, rows in (("direct", None), ("direct", 8),
-                       ("sep", None), ("sep", 8)):
+    for form, rows, subc in (("direct", None, 1), ("direct", 8, 1),
+                             ("sep", None, 1), ("sep", 8, 1),
+                             ("direct", 8, 4), ("sep", 8, 4)):
         pc.POWER_FORM = form
         pc.BWD_EXIT_ROWS = rows
+        pc.SUB_CHUNKS = subc
         pc._make_composite_op.cache_clear()
         t0 = time.time()
         fb_ms = time_fn(jax.jit(functools.partial(comp_bwd, c=cfg)),
                         sf2, bounds)
-        log(f"bwd form={form:6s} exit_rows={str(rows):5s}: composite "
-            f"fwd+bwd {fb_ms:7.2f} ms  (compile+measure {time.time()-t0:.0f}s)")
+        log(f"bwd form={form:6s} exit_rows={str(rows):5s} sub={subc}: "
+            f"composite fwd+bwd {fb_ms:7.2f} ms  "
+            f"(compile+measure {time.time()-t0:.0f}s)")
 
     # restore module defaults so anything appended below measures what its
     # label says
     pc.POWER_FORM = "direct"
     pc.BWD_EXIT_ROWS = None
+    pc.SUB_CHUNKS = 1
     pc._make_composite_op.cache_clear()
 
 
