@@ -233,8 +233,8 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     from openglgaussiansplattingrenderer_tpu.train import trainer
 
     tc = tc or trainer.TrainConfig()
-    width = width or cameras[0].width
-    height = height or cameras[0].height
+    width = width or trainer.camera_dims(cameras[0])[0]
+    height = height or trainer.camera_dims(cameras[0])[1]
     step = trainer.make_train_step(cfg, tc, width, height,
                                    with_grad_norms=True)
     raw, alive = pad_to_capacity(trainer.raw_from_params(params), dc.capacity)

@@ -129,15 +129,23 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     return run
 
 
+def camera_dims(cam) -> Tuple[int, int]:
+    """(width, height) of a Camera or an ``io.dataset`` bundle dict."""
+    if isinstance(cam, dict):
+        return int(cam["width"]), int(cam["height"])
+    return cam.width, cam.height
+
+
 def camera_bundles(cameras):
     """Per-camera jitted-step argument tuples (view, vp, focals, tanfovs) --
     shared by ``fit_scene`` and ``densify.fit_scene_adaptive`` so the
-    argument-order quirks live in one place."""
+    argument-order quirks live in one place. Each entry is a ``Camera`` or
+    an ``io.dataset`` bundle dict (posed-image datasets)."""
     from openglgaussiansplattingrenderer_tpu.render import camera_args
 
     bundles = []
     for cam in cameras:
-        a = camera_args(cam)
+        a = cam if isinstance(cam, dict) else camera_args(cam)
         bundles.append((jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
                         a["focal_x"], a["focal_y"], a["tan_fovx"],
                         a["tan_fovy"]))
@@ -154,8 +162,8 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     (activated params, history).
     """
     tc = tc or TrainConfig()
-    width = width or cameras[0].width
-    height = height or cameras[0].height
+    width = width or camera_dims(cameras[0])[0]
+    height = height or camera_dims(cameras[0])[1]
     step = make_train_step(cfg, tc, width, height)
     state = step.init(raw_from_params(params))
     cam_bundles = camera_bundles(cameras)

@@ -23,7 +23,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("scene", help="target 3DGS PLY file")
+    ap.add_argument("scene", help="target 3DGS PLY file, or a NeRF-style "
+                    "transforms.json posed-image dataset (fit from images, "
+                    "random init)")
+    ap.add_argument("--init-extent", type=float, default=2.0,
+                    help="dataset mode: radius of the random init cloud")
     ap.add_argument("-o", "--output", default="fitted.ply")
     ap.add_argument("--out-png", default="fit_compare.png",
                     help="side-by-side target | fitted render of view 0")
@@ -83,33 +87,58 @@ def main():
         use_pallas=not args.no_pallas, chunk=args.chunk,
         dup_capacity_factor=args.capacity_factor)
 
-    scene = ply_io.load_splats(args.scene)
-    target_params = {k: jnp.asarray(v) for k, v in scene.items()
-                     if k != "sh_rest"}
-    n = int(target_params["means"].shape[0])
-    center = np.asarray(target_params["means"]).mean(axis=0)
-    extent = float(np.abs(np.asarray(target_params["means"]) - center).max())
-    print(f"target: {n} splats, extent {extent:.2f}", file=sys.stderr)
-
-    cams = orbit_cameras(center, args.orbit_radius, args.views,
-                         width=args.width, height=args.height)
-    targets = []
-    for cam in cams:
-        img, stats = render_stats(target_params, cam, cfg)
-        if int(stats["overflow"]) > 0:
-            print(f"WARNING: target render overflow {int(stats['overflow'])} "
-                  f"-- raise --capacity-factor", file=sys.stderr)
-        targets.append(np.asarray(img[..., :3]))
-
     rng = np.random.default_rng(args.seed)
-    n0 = args.init_count or max(8, n // 4)
-    idx = rng.choice(n, size=min(n0, n), replace=False)
-    start = {k: np.asarray(v)[idx] for k, v in target_params.items()}
-    if args.init == "noise":
-        start["colors"] = np.clip(
-            start["colors"] + rng.normal(0, 40, start["colors"].shape),
-            0, 255).astype(np.float32)
-        start["opacities"] = np.full(len(idx), 0.5, np.float32)
+    if args.scene.endswith(".json"):
+        # posed-image dataset: fit from the images, random init cloud
+        from openglgaussiansplattingrenderer_tpu.io import dataset as ds_io
+
+        cams, images = ds_io.load_transforms(args.scene)
+        pairs = [(c, im) for c, im in zip(cams, images) if im is not None]
+        if not pairs:
+            print("FATAL: dataset has no readable images", file=sys.stderr)
+            sys.exit(1)
+        cams = [c for c, _ in pairs]
+        targets = [np.asarray(im, np.float32) for _, im in pairs]
+        extent = args.init_extent
+        n0 = args.init_count or 512
+        start = {
+            "means": rng.normal(0.0, extent / 2.0, (n0, 3)).astype(np.float32),
+            "scales": np.full((n0, 3), extent / 30.0, np.float32),
+            "quats": np.tile(np.array([1.0, 0, 0, 0], np.float32), (n0, 1)),
+            "opacities": np.full(n0, 0.3, np.float32),
+            "colors": np.full((n0, 3), 128.0, np.float32),
+        }
+        print(f"dataset: {len(cams)} posed images, init {n0} random splats",
+              file=sys.stderr)
+    else:
+        scene = ply_io.load_splats(args.scene)
+        target_params = {k: jnp.asarray(v) for k, v in scene.items()
+                         if k != "sh_rest"}
+        n = int(target_params["means"].shape[0])
+        center = np.asarray(target_params["means"]).mean(axis=0)
+        extent = float(np.abs(np.asarray(target_params["means"])
+                              - center).max())
+        print(f"target: {n} splats, extent {extent:.2f}", file=sys.stderr)
+
+        cams = orbit_cameras(center, args.orbit_radius, args.views,
+                             width=args.width, height=args.height)
+        targets = []
+        for cam in cams:
+            img, stats = render_stats(target_params, cam, cfg)
+            if int(stats["overflow"]) > 0:
+                print(f"WARNING: target render overflow "
+                      f"{int(stats['overflow'])} -- raise "
+                      f"--capacity-factor", file=sys.stderr)
+            targets.append(np.asarray(img[..., :3]))
+
+        n0 = args.init_count or max(8, n // 4)
+        idx = rng.choice(n, size=min(n0, n), replace=False)
+        start = {k: np.asarray(v)[idx] for k, v in target_params.items()}
+        if args.init == "noise":
+            start["colors"] = np.clip(
+                start["colors"] + rng.normal(0, 40, start["colors"].shape),
+                0, 255).astype(np.float32)
+            start["opacities"] = np.full(len(idx), 0.5, np.float32)
 
     tc = TrainConfig(
         steps=args.steps, lambda_dssim=args.lambda_dssim,
@@ -118,7 +147,7 @@ def main():
         lr_colors=2.5e-1 * args.lr_scale)
 
     if args.densify:
-        capacity = args.capacity or 4 * len(idx)
+        capacity = args.capacity or 4 * start["means"].shape[0]
         dc = DensifyConfig(capacity=capacity,
                            grad_threshold=args.grad_threshold,
                            scene_extent=extent,
@@ -142,7 +171,16 @@ def main():
     print(f"wrote {args.output} ({out_params['means'].shape[0]} splats)",
           file=sys.stderr)
 
-    img, _ = render_stats(fitted_render, cams[0], cfg)
+    if isinstance(cams[0], dict):
+        from openglgaussiansplattingrenderer_tpu.render import render_arrays
+
+        b = cams[0]
+        img, _ = render_arrays(
+            fitted_render, jnp.asarray(b["view"]), jnp.asarray(b["vp"]),
+            b["focal_x"], b["focal_y"], b["tan_fovx"], b["tan_fovy"],
+            int(b["width"]), int(b["height"]), cfg)
+    else:
+        img, _ = render_stats(fitted_render, cams[0], cfg)
     fit0 = np.asarray(img[..., :3])
     psnr = float(losses.psnr(jnp.asarray(fit0), jnp.asarray(targets[0])))
     save_png(args.out_png, np.concatenate([targets[0], fit0], axis=1))
