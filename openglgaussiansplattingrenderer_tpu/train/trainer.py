@@ -181,11 +181,31 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     return params_from_raw(state.raw), history
 
 
-def save_checkpoint(path: str, raw: Dict[str, jnp.ndarray], step: int = 0) -> None:
-    np.savez(path, step=step, **{k: np.asarray(v) for k, v in raw.items()})
+def save_checkpoint(path: str, raw: Dict[str, jnp.ndarray], step: int = 0,
+                    **extras) -> None:
+    """npz pytree checkpoint. ``extras`` holds any additional arrays --
+    e.g. adaptive-density state (``alive``, ``grad_accum``, ``seen_count``)
+    -- namespaced with an ``x_`` prefix so they never collide with
+    parameter names."""
+    np.savez(path, step=step,
+             **{k: np.asarray(v) for k, v in raw.items()},
+             **{f"x_{k}": np.asarray(v) for k, v in extras.items()})
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], int]:
+    """Returns (raw params, step); extras are ignored (see
+    ``load_checkpoint_full``)."""
+    raw, step, _ = load_checkpoint_full(path)
+    return raw, step
+
+
+def load_checkpoint_full(
+    path: str,
+) -> Tuple[Dict[str, np.ndarray], int, Dict[str, np.ndarray]]:
+    """Returns (raw params, step, extras) -- extras as saved via
+    ``save_checkpoint(..., name=array)``, prefix stripped."""
     z = np.load(path)
-    raw = {k: z[k] for k in z.files if k != "step"}
-    return raw, int(z["step"])
+    raw = {k: z[k] for k in z.files
+           if k != "step" and not k.startswith("x_")}
+    extras = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+    return raw, int(z["step"]), extras

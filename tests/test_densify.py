@@ -209,3 +209,25 @@ def test_fit_adaptive_end_to_end():
     # compaction round-trip keeps only live rows
     compact = dn.compact_params(fitted, alive)
     assert compact["means"].shape[0] == int(jnp.sum(alive))
+
+
+def test_checkpoint_roundtrip_with_densify_state(tmp_path):
+    """Adaptive-training state (alive mask + grad accumulators) rides the
+    npz checkpoint as extras and round-trips exactly."""
+    raw, _ = _raw_scene(6)
+    padded, alive = dn.pad_to_capacity(raw, 8)
+    accum = jnp.arange(8, dtype=jnp.float32) * 0.5
+    seen = jnp.ones((8,), jnp.float32)
+    p = str(tmp_path / "ck.npz")
+    trainer.save_checkpoint(p, padded, step=17, alive=alive,
+                            grad_accum=accum, seen_count=seen)
+    # legacy loader: params + step only, extras invisible
+    raw2, step = trainer.load_checkpoint(p)
+    assert step == 17 and set(raw2) == set(padded)
+    np.testing.assert_array_equal(raw2["means"], np.asarray(padded["means"]))
+    # full loader: extras back, exact
+    raw3, step3, extras = trainer.load_checkpoint_full(p)
+    assert step3 == 17
+    np.testing.assert_array_equal(extras["alive"], np.asarray(alive))
+    np.testing.assert_array_equal(extras["grad_accum"], np.asarray(accum))
+    np.testing.assert_array_equal(extras["seen_count"], np.asarray(seen))
