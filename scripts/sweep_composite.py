@@ -27,8 +27,10 @@ VARIANTS = [
     ("sos", None, 128, 1), ("sos", 8, 128, 1),
     ("sep", None, 128, 1), ("sep", 8, 128, 1),
     ("direct", None, 256, 1), ("direct", 8, 256, 1),
+    # sub-chunks shorten the per-pair scan + min-reduce (~3*log2(sub) ops)
+    # AND add record-axis exits, at ~sub gate branches per chunk
     ("direct", 8, 128, 4), ("sep", 8, 128, 4),
-    ("direct", 8, 256, 8),
+    ("sep", 8, 128, 8), ("direct", 8, 256, 8),
 ]
 
 
