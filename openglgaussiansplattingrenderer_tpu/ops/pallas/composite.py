@@ -298,9 +298,12 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
 
                     # (row-block, sub-chunk) early exit: saturation is
                     # spatially uneven and happens mid-chunk -- both axes
-                    # of granularity approach draw.glsl's per-pixel break
-                    @pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)
-                    def _(b=b, rows=rows, s=s, sl=sl):
+                    # of granularity approach draw.glsl's per-pixel break.
+                    # SUB_GATE=False keeps the shorter sub-chunk scans but
+                    # drops the per-sub-chunk branch (isolates gate cost
+                    # from scan-depth savings on hardware; identical values
+                    # either way).
+                    def _sub_body(b=b, rows=rows, s=s, sl=sl):
                         s11, s12, s22, u0, v0, opm = (a[:, sl] for a in sos)
                         trans = out_ref[0, rows, 3:4]     # (pblk, 1)
                         fx, fy = _block_coords(b, pw, pb)
@@ -347,6 +350,14 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
                         out_ref[0, rows, 3:4] = jnp.min(
                             jnp.where(inc, s_excl * one_m, trans),
                             axis=1, keepdims=True)
+
+                    # the first sub-chunk's gate IS the row-block gate;
+                    # later sub-chunks gate only when SUB_GATE
+                    if SUB_GATE or s == 0:
+                        pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)(
+                            _sub_body)
+                    else:
+                        _sub_body()
 
     jax.lax.fori_loop(0, nch, body, None)
 
@@ -579,8 +590,13 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
             rows = slice(b * pblk, (b + 1) * pblk)
             for s in range(nsub):
                 sl = slice(s * sub, (s + 1) * sub)
-                pl.when(jnp.max(state[rows, 0:1]) > thresh)(
-                    functools.partial(blk, b, rows, s, sl))
+                # first sub-chunk's gate == the row-block gate; later
+                # sub-chunks gate only when SUB_GATE (must mirror forward)
+                if SUB_GATE or s == 0:
+                    pl.when(jnp.max(state[rows, 0:1]) > thresh)(
+                        functools.partial(blk, b, rows, s, sl))
+                else:
+                    blk(b, rows, s, sl)
 
     jax.lax.fori_loop(0, nch, body, None)
     # drain the last (up to) two in-flight output DMAs before the grid
@@ -617,6 +633,9 @@ SUB_CHUNKS = 1              # record-axis early-exit granularity: split each
                             # must carry transmittance at the same
                             # boundaries as the forward or borderline
                             # include decisions diverge.
+SUB_GATE = True             # False: run sub-chunks ungated (keeps their
+                            # shorter scans/reduces, drops the saturation
+                            # branches; values identical either way)
 
 
 def _num_sub(chunk: int) -> int:

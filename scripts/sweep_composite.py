@@ -20,17 +20,19 @@ NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 ITERS = 20
 REPEATS = 3
-# (power formulation, exit rows, chunk, sub_chunks);
+# (power formulation, exit rows, chunk, sub_chunks, sub_gate);
 # exit rows None -> whole tile; sub_chunks 1 -> whole-chunk gating
 VARIANTS = [
-    ("direct", None, 128, 1), ("direct", 8, 128, 1),
-    ("sos", None, 128, 1), ("sos", 8, 128, 1),
-    ("sep", None, 128, 1), ("sep", 8, 128, 1),
-    ("direct", None, 256, 1), ("direct", 8, 256, 1),
+    ("direct", None, 128, 1, True), ("direct", 8, 128, 1, True),
+    ("sos", None, 128, 1, True), ("sos", 8, 128, 1, True),
+    ("sep", None, 128, 1, True), ("sep", 8, 128, 1, True),
+    ("direct", None, 256, 1, True), ("direct", 8, 256, 1, True),
     # sub-chunks shorten the per-pair scan + min-reduce (~3*log2(sub) ops)
-    # AND add record-axis exits, at ~sub gate branches per chunk
-    ("direct", 8, 128, 4), ("sep", 8, 128, 4),
-    ("sep", 8, 128, 8), ("direct", 8, 256, 8),
+    # AND add record-axis exits, at ~sub gate branches per chunk;
+    # sub_gate=False isolates gate cost from the scan-depth savings
+    ("direct", 8, 128, 4, True), ("sep", 8, 128, 4, True),
+    ("sep", 8, 128, 8, True), ("direct", 8, 256, 8, True),
+    ("sep", 8, 128, 4, False), ("sep", 8, 128, 8, False),
 ]
 
 
@@ -113,22 +115,24 @@ def main():
 
         return jax.value_and_grad(loss)(fields)
 
-    for form, rows, chunk, subc in VARIANTS:
+    for form, rows, chunk, subc, gate in VARIANTS:
         pc.POWER_FORM = form
         pc.FWD_EXIT_ROWS = rows
         pc.SUB_CHUNKS = subc
+        pc.SUB_GATE = gate
         pc._make_composite_op.cache_clear()
         c = dataclasses.replace(cfg, chunk=chunk)
         t0 = time.time()
         fwd_ms = time_fn(jax.jit(functools.partial(comp, c=c)), sf2, bounds)
         log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk} "
-            f"sub={subc}: composite fwd {fwd_ms:7.2f} ms  "
+            f"sub={subc} gate={int(gate)}: composite fwd {fwd_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
 
     # backward: power-form x exit-granularity x sub-chunk variants (the
     # backward recompute follows POWER_FORM and SUB_CHUNKS, so they are
     # bwd knobs too)
     pc.FWD_EXIT_ROWS = None
+    pc.SUB_GATE = True
     for form, rows, subc in (("direct", None, 1), ("direct", 8, 1),
                              ("sep", None, 1), ("sep", 8, 1),
                              ("direct", 8, 4), ("sep", 8, 4)):
@@ -148,6 +152,7 @@ def main():
     pc.POWER_FORM = "direct"
     pc.BWD_EXIT_ROWS = None
     pc.SUB_CHUNKS = 1
+    pc.SUB_GATE = True
     pc._make_composite_op.cache_clear()
 
 

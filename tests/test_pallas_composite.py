@@ -109,28 +109,31 @@ def test_pallas_backward_saturated_scene():
             err_msg=f"gradient mismatch for {k}")
 
 
-@pytest.mark.parametrize("form,fwd_rows,bwd_rows,subc", [
-    ("sos", 8, 8, 1),
-    ("direct", 8, None, 1),
-    ("sos", None, 8, 1),
-    ("sep", 8, 8, 1),
-    ("sep", None, None, 1),
-    ("direct", None, None, 4),
-    ("sep", 8, 8, 4),
-    ("sos", None, None, 2),
+@pytest.mark.parametrize("form,fwd_rows,bwd_rows,subc,gate", [
+    ("sos", 8, 8, 1, True),
+    ("direct", 8, None, 1, True),
+    ("sos", None, 8, 1, True),
+    ("sep", 8, 8, 1, True),
+    ("sep", None, None, 1, True),
+    ("direct", None, None, 4, True),
+    ("sep", 8, 8, 4, True),
+    ("sos", None, None, 2, True),
+    ("sep", 8, 8, 4, False),
+    ("direct", None, None, 8, False),
 ])
 def test_pallas_knob_matrix_matches_jnp(monkeypatch, form, fwd_rows,
-                                        bwd_rows, subc):
+                                        bwd_rows, subc, gate):
     """The sweepable kernel knobs (POWER_FORM, FWD/BWD_EXIT_ROWS,
-    SUB_CHUNKS) must all reproduce the oracle's forward AND backward
-    regardless of which combination the hardware sweep eventually picks as
-    default."""
+    SUB_CHUNKS, SUB_GATE) must all reproduce the oracle's forward AND
+    backward regardless of which combination the hardware sweep eventually
+    picks as default."""
     from openglgaussiansplattingrenderer_tpu.ops.pallas import composite as pc
 
     monkeypatch.setattr(pc, "POWER_FORM", form)
     monkeypatch.setattr(pc, "FWD_EXIT_ROWS", fwd_rows)
     monkeypatch.setattr(pc, "BWD_EXIT_ROWS", bwd_rows)
     monkeypatch.setattr(pc, "SUB_CHUNKS", subc)
+    monkeypatch.setattr(pc, "SUB_GATE", gate)
     pc._make_composite_op.cache_clear()
 
     w = h = 64
