@@ -79,6 +79,8 @@ def pad_to_capacity(
         "logit_opacities": pad_rows(raw["logit_opacities"], DEAD_LOGIT),
         "colors": pad_rows(raw["colors"], 0.0),
     }
+    if "sh_rest" in raw:
+        padded["sh_rest"] = pad_rows(raw["sh_rest"], 0.0)
     alive = jnp.arange(capacity) < n
     return padded, alive
 
@@ -235,9 +237,10 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     tc = tc or trainer.TrainConfig()
     width = width or trainer.camera_dims(cameras[0])[0]
     height = height or trainer.camera_dims(cameras[0])[1]
-    step = trainer.make_train_step(cfg, tc, width, height,
-                                   with_grad_norms=True)
     raw, alive = pad_to_capacity(trainer.raw_from_params(params), dc.capacity)
+    step = trainer.make_train_step(cfg, tc, width, height,
+                                   with_grad_norms=True,
+                                   param_keys=tuple(sorted(raw.keys())))
     state = step.init(raw)
     grad_accum = jnp.zeros((dc.capacity,), jnp.float32)
     seen_count = jnp.zeros((dc.capacity,), jnp.float32)

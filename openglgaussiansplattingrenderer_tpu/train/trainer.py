@@ -40,8 +40,12 @@ class TrainConfig:
 
 
 def raw_from_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Activated parameters -> unconstrained optimisation space."""
-    return {
+    """Activated parameters -> unconstrained optimisation space.
+
+    ``sh_rest`` (the 45 view-dependent SH coefficients, already linear)
+    rides along when present so it trains too (render with
+    ``cfg.sh_degree > 0``)."""
+    raw = {
         "means": jnp.asarray(params["means"]),
         "log_scales": jnp.log(jnp.maximum(jnp.asarray(params["scales"]), 1e-30)),
         "quats": jnp.asarray(params["quats"]),
@@ -49,19 +53,25 @@ def raw_from_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
             jnp.clip(jnp.asarray(params["opacities"]), 1e-6, 1.0 - 1e-6)),
         "colors": jnp.asarray(params["colors"]),
     }
+    if params.get("sh_rest") is not None:
+        raw["sh_rest"] = jnp.asarray(params["sh_rest"])
+    return raw
 
 
 def params_from_raw(raw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Unconstrained space -> activated render parameters (differentiable)."""
     quats = raw["quats"]
     quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
-    return {
+    params = {
         "means": raw["means"],
         "scales": jnp.exp(raw["log_scales"]),
         "quats": quats,
         "opacities": sigmoid(raw["logit_opacities"]),
         "colors": raw["colors"],
     }
+    if "sh_rest" in raw:
+        params["sh_rest"] = raw["sh_rest"]
+    return params
 
 
 @dataclasses.dataclass
@@ -71,31 +81,41 @@ class TrainState:
     step: int = 0
 
 
-def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(tc: TrainConfig,
+                   keys=("means", "log_scales", "quats", "logit_opacities",
+                         "colors")) -> optax.GradientTransformation:
+    """Per-tensor Adam. ``keys`` must match the raw pytree (pass
+    ``raw.keys()`` when it carries ``sh_rest``). SH coefficients use
+    lr_colors / 20, the standard 3DGS ratio for the rest bands."""
+    lrs = {
+        "means": tc.lr_means,
+        "log_scales": tc.lr_scales,
+        "quats": tc.lr_quats,
+        "logit_opacities": tc.lr_opacities,
+        "colors": tc.lr_colors,
+        "sh_rest": tc.lr_colors / 20.0,
+    }
+    keys = tuple(keys)
     return optax.multi_transform(
-        {
-            "means": optax.adam(tc.lr_means),
-            "log_scales": optax.adam(tc.lr_scales),
-            "quats": optax.adam(tc.lr_quats),
-            "logit_opacities": optax.adam(tc.lr_opacities),
-            "colors": optax.adam(tc.lr_colors),
-        },
-        {k: k for k in ["means", "log_scales", "quats", "logit_opacities",
-                        "colors"]},
+        {k: optax.adam(lrs[k]) for k in keys},
+        {k: k for k in keys},
     )
 
 
 def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                     height: int,
                     loss_fn: Optional[Callable] = None,
-                    with_grad_norms: bool = False) -> Callable:
+                    with_grad_norms: bool = False,
+                    param_keys=None) -> Callable:
     """Jitted (state, target, camera args) -> (state, metrics) step.
 
     ``with_grad_norms`` adds a per-splat ``means_grad_norm`` (N,) array to
     the metrics -- the selection statistic for adaptive density control
-    (train/densify.py).
+    (train/densify.py). ``param_keys`` must name the raw pytree's keys when
+    they differ from the default five (e.g. ``sh_rest`` training).
     """
-    optimizer = make_optimizer(tc)
+    optimizer = (make_optimizer(tc) if param_keys is None
+                 else make_optimizer(tc, keys=param_keys))
 
     def loss_of(raw, target, view, vp, fx, fy, tfx, tfy):
         params = params_from_raw(raw)
@@ -164,8 +184,10 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     tc = tc or TrainConfig()
     width = width or camera_dims(cameras[0])[0]
     height = height or camera_dims(cameras[0])[1]
-    step = make_train_step(cfg, tc, width, height)
-    state = step.init(raw_from_params(params))
+    raw = raw_from_params(params)
+    step = make_train_step(cfg, tc, width, height,
+                           param_keys=tuple(sorted(raw.keys())))
+    state = step.init(raw)
     cam_bundles = camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
 

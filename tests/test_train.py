@@ -74,3 +74,41 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     for k in raw:
         np.testing.assert_allclose(np.asarray(raw[k]), raw2[k], atol=1e-7)
+
+
+def test_fit_trains_sh_coefficients():
+    """View-dependent SH coefficients (sh_rest) ride the raw pytree and
+    receive gradients when rendering with sh_degree > 0: zeroing a target
+    scene's SH and fitting against two views must move sh_rest off zero
+    and improve the loss."""
+    import dataclasses
+
+    w = h = 64
+    cfg = dataclasses.replace(CFG, sh_degree=2)
+    rngg = np.random.default_rng(3)
+    scene = ply_io.make_synthetic_scene(20, seed=13, extent=1.0)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    scene["sh_rest"] = rngg.normal(0, 0.35, scene["sh_rest"].shape).astype(
+        np.float32)
+    full = {k: jnp.asarray(v) for k, v in scene.items()}
+
+    cams = [Camera(0.0, 0.0, -4.0, width=w, height=h),
+            Camera(1.5, 0.0, -3.6, width=w, height=h)]
+    cams[1].set_rotation(0.0, -20.0, 0.0)
+    targets = []
+    from openglgaussiansplattingrenderer_tpu.render import render_stats as rs
+    for cam in cams:
+        img, _ = rs(full, cam, cfg)
+        targets.append(np.asarray(img[..., :3]))
+    # the two views must actually see different colours (SH is in play)
+    assert np.abs(targets[0] - targets[1]).max() > 0.01
+
+    start = dict(scene)
+    start["sh_rest"] = np.zeros_like(scene["sh_rest"])
+    tc = TrainConfig(steps=40, lambda_dssim=0.0, lr_colors=2.0)
+    fitted, hist = fit_scene(start, targets, cams, cfg, tc, verbose=False,
+                             log_every=20)
+    assert "sh_rest" in fitted
+    assert float(np.abs(np.asarray(fitted["sh_rest"])).max()) > 1e-4, \
+        "sh_rest never received gradient"
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
