@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--lambda-dssim", type=float, default=0.2)
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="multiplier on all default learning rates")
+    ap.add_argument("--sh-degree", type=int, default=0,
+                    help="render/train view-dependent SH up to this degree")
     ap.add_argument("--tile-px", type=int, default=32)
     ap.add_argument("--capacity-factor", type=float, default=8.0)
     ap.add_argument("--chunk", type=int, default=256)
@@ -85,7 +87,8 @@ def main():
     cfg = RenderConfig.for_resolution(
         args.width, args.height, tile_px=args.tile_px,
         use_pallas=not args.no_pallas, chunk=args.chunk,
-        dup_capacity_factor=args.capacity_factor)
+        dup_capacity_factor=args.capacity_factor,
+        sh_degree=args.sh_degree)
 
     rng = np.random.default_rng(args.seed)
     if args.scene.endswith(".json"):
@@ -108,12 +111,15 @@ def main():
             "opacities": np.full(n0, 0.3, np.float32),
             "colors": np.full((n0, 3), 128.0, np.float32),
         }
+        if args.sh_degree > 0:
+            start["sh_rest"] = np.zeros((n0, 45), np.float32)
         print(f"dataset: {len(cams)} posed images, init {n0} random splats",
               file=sys.stderr)
     else:
         scene = ply_io.load_splats(args.scene)
+        keep_sh = args.sh_degree > 0
         target_params = {k: jnp.asarray(v) for k, v in scene.items()
-                         if k != "sh_rest"}
+                         if keep_sh or k != "sh_rest"}
         n = int(target_params["means"].shape[0])
         center = np.asarray(target_params["means"]).mean(axis=0)
         extent = float(np.abs(np.asarray(target_params["means"])
@@ -167,7 +173,8 @@ def main():
 
     ply_io.save_ply(args.output, out_params["means"], out_params["quats"],
                     out_params["scales"], out_params["opacities"],
-                    out_params["colors"])
+                    out_params["colors"],
+                    sh_rest=out_params.get("sh_rest"))
     print(f"wrote {args.output} ({out_params['means'].shape[0]} splats)",
           file=sys.stderr)
 
