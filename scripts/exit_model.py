@@ -34,13 +34,16 @@ from openglgaussiansplattingrenderer_tpu.ops import binning, compositing, projec
 from openglgaussiansplattingrenderer_tpu.ops.transforms import build_covariance
 from openglgaussiansplattingrenderer_tpu.render import camera_args, effective_colors
 
+import os
+
 NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 CHUNK, ROWS, SUB = 128, 8, 32
+TILE_PX = int(os.environ.get("EXIT_MODEL_TILE_PX", "32"))
 
 
 def main():
-    cfg = RenderConfig.for_resolution(WIDTH, HEIGHT, tile_px=32,
+    cfg = RenderConfig.for_resolution(WIDTH, HEIGHT, tile_px=TILE_PX,
                                       use_pallas=False,
                                       dup_capacity_factor=8.0,
                                       max_per_tile=8192, chunk=64)
@@ -67,14 +70,15 @@ def main():
     op = np.asarray(g["opacity"])
     bounds = np.asarray(bounds)
 
-    pw = ph = 32
+    pw = ph = TILE_PX
     gx = cfg.grid_x
     px = np.arange(pw, dtype=np.float32)
     py = np.arange(ph, dtype=np.float32)
     fx = np.tile(px, ph)                      # row-major tile pixels
     fy = np.repeat(py, pw)
-    nrow_blk = ph // ROWS
-    pb = pw * ROWS
+    rows_blk = min(ROWS, ph)
+    nrow_blk = ph // rows_blk
+    pb = pw * rows_blk
 
     thresh = 1.0 - cfg.saturation             # T <= this => saturated
     work = dict.fromkeys(
