@@ -123,7 +123,14 @@ def main():
         pc._make_composite_op.cache_clear()
         c = dataclasses.replace(cfg, chunk=chunk)
         t0 = time.time()
-        fwd_ms = time_fn(jax.jit(functools.partial(comp, c=c)), sf2, bounds)
+        try:
+            fwd_ms = time_fn(jax.jit(functools.partial(comp, c=c)),
+                             sf2, bounds)
+        except Exception as e:      # lowering failures must not kill the run
+            log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk} "
+                f"sub={subc} gate={int(gate)}: FAILED "
+                f"{type(e).__name__}: {str(e)[:200]}")
+            continue
         log(f"form={form:6s} exit_rows={str(rows):5s} chunk={chunk} "
             f"sub={subc} gate={int(gate)}: composite fwd {fwd_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
@@ -141,8 +148,13 @@ def main():
         pc.SUB_CHUNKS = subc
         pc._make_composite_op.cache_clear()
         t0 = time.time()
-        fb_ms = time_fn(jax.jit(functools.partial(comp_bwd, c=cfg)),
-                        sf2, bounds)
+        try:
+            fb_ms = time_fn(jax.jit(functools.partial(comp_bwd, c=cfg)),
+                            sf2, bounds)
+        except Exception as e:
+            log(f"bwd form={form:6s} exit_rows={str(rows):5s} sub={subc}: "
+                f"FAILED {type(e).__name__}: {str(e)[:200]}")
+            continue
         log(f"bwd form={form:6s} exit_rows={str(rows):5s} sub={subc}: "
             f"composite fwd+bwd {fb_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
