@@ -87,6 +87,16 @@ class RenderConfig:
     # (Splats.cpp:596). Only differs when width/height % grid != 0.
     int_tile_size: bool = False
 
+    # Tighten each splat's tile rectangle from the reference's 3-sigma
+    # bounding square (preprocess.glsl:139-149) to its intersection with the
+    # opacity-aware ellipse AABB of the {alpha >= alpha_min} set. Image-exact:
+    # a tile strictly outside that AABB contains no pixel the reference's own
+    # per-pixel cutoff (draw.glsl:118-126) would blend, so the dropped
+    # records contribute exactly zero -- they just stop being allocated,
+    # sorted, and streamed. False recovers the reference's rectangle (and its
+    # duplicate-count statistics) exactly.
+    tight_rect: bool = True
+
     @property
     def num_tiles(self) -> int:
         return self.grid_x * self.grid_y

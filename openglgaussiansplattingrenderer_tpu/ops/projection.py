@@ -21,13 +21,18 @@ Math (verified against a literal glm/GLSL emulation in
   power = -0.5(A dx^2 + C dy^2) - B dx dy                (preprocess.glsl:130-136)
 - radius = ceil(3*sqrt(lambda_max)) via closed-form eigenvalues
                                                          (preprocess.glsl:139-142)
-- tile range [tmin, tmax] clamped to the 16x16 grid      (preprocess.glsl:143-149)
+- tile range [tmin, tmax] clamped to the 16x16 grid      (preprocess.glsl:143-149);
+  with ``cfg.tight_rect`` the reference's 3-sigma square is intersected with
+  the opacity-aware {alpha >= alpha_min} ellipse AABB -- image-exact (see
+  the inline note), it only stops allocating records the reference's own
+  per-pixel cutoff would skip
 """
 
 from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from openglgaussiansplattingrenderer_tpu.config import RenderConfig
@@ -115,17 +120,58 @@ def preprocess(
     radius = jnp.ceil(cfg.radius_sigma * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
     # --- tile range (preprocess.glsl:143-153) -----------------------------
-    tile_w, tile_h = cfg.tile_size(width, height)
     gx, gy = cfg.grid_x, cfg.grid_y
+    if cfg.int_tile_size:
+        # Reference-quirk replication mode (preprocess.glsl:143 integer
+        # division); like the reference, the rect divisor then disagrees
+        # with the draw tiling when width % grid != 0.
+        tile_w, tile_h = cfg.tile_size(width, height)
+    else:
+        # The divisor MUST be the compositor's actual padded tile pitch
+        # (ops/compositing.padded_dims): every path assigns pixels to tiles
+        # in integer pw/ph blocks, so a rect computed against the unpadded
+        # width/grid pitch drifts for high tile indices when the resolution
+        # is not grid-divisible (e.g. 1080/34 = 31.76 vs a 32 px pitch) and
+        # can skip a tile that still contains reachable pixels. Identity at
+        # grid-divisible resolutions, including the reference's 1024x512/16.
+        from openglgaussiansplattingrenderer_tpu.ops.compositing import padded_dims
+
+        wp_t, hp_t = padded_dims(width, height, cfg)
+        tile_w, tile_h = wp_t / gx, hp_t / gy
+    reach = valid
+    if cfg.tight_rect:
+        # Opacity-aware ellipse AABB (cfg.tight_rect): the set a pixel must
+        # lie in to pass draw.glsl:118-126's alpha >= alpha_min test is the
+        # ellipse d^T Q d <= 2L with Q = conic and L = ln(opacity/alpha_min);
+        # since Q^{-1} is the (dilated) 2D covariance, its axis-aligned
+        # half-extents are rx = sqrt(2L*Sigma_xx), ry = sqrt(2L*Sigma_yy).
+        # Intersecting the reference's 3-sigma square with this AABB removes
+        # only tiles whose every pixel the reference itself would skip --
+        # image-exact, but the records are never allocated (the per-record
+        # reachability cull in ops/pallas/records.py still runs; it is
+        # strictly stronger, this is its O(1)-per-splat allocation-time
+        # counterpart). A splat with opacity < alpha_min reaches nothing
+        # anywhere and allocates zero records. The 1e-3 px inflation keeps
+        # f32-borderline alpha == alpha_min pixels inside the rectangle.
+        lam = jnp.log(jnp.maximum(opacities.astype(f32), 1e-30)
+                      / cfg.alpha_min)
+        two_l = 2.0 * jnp.maximum(lam, 0.0)
+        rx = jnp.minimum(radius, jnp.sqrt(two_l * jnp.maximum(a2d, 0.0)) + 1e-3)
+        ry = jnp.minimum(radius, jnp.sqrt(two_l * jnp.maximum(c2d, 0.0)) + 1e-3)
+        rx = jax.lax.stop_gradient(rx)
+        ry = jax.lax.stop_gradient(ry)
+        reach = valid & (opacities.astype(f32) >= cfg.alpha_min)
+    else:
+        rx = ry = radius
     # GLSL int() truncates toward zero; the subsequent clamps make trunc vs
     # floor indistinguishable for in-range splats.
-    tmin_x = jnp.clip(((sx - radius) / tile_w).astype(jnp.int32), 0, gx - 1)
-    tmax_x = jnp.clip(((sx + radius) / tile_w).astype(jnp.int32), 0, gx - 1)
-    tmin_y = jnp.clip(((sy - radius) / tile_h).astype(jnp.int32), 0, gy - 1)
-    tmax_y = jnp.clip(((sy + radius) / tile_h).astype(jnp.int32), 0, gy - 1)
+    tmin_x = jnp.clip(((sx - rx) / tile_w).astype(jnp.int32), 0, gx - 1)
+    tmax_x = jnp.clip(((sx + rx) / tile_w).astype(jnp.int32), 0, gx - 1)
+    tmin_y = jnp.clip(((sy - ry) / tile_h).astype(jnp.int32), 0, gy - 1)
+    tmax_y = jnp.clip(((sy + ry) / tile_h).astype(jnp.int32), 0, gy - 1)
     ext_x = tmax_x - tmin_x + 1
     ext_y = tmax_y - tmin_y + 1
-    counts = jnp.where(valid, ext_x * ext_y, 0).astype(jnp.int32)
+    counts = jnp.where(reach, ext_x * ext_y, 0).astype(jnp.int32)
 
     mean2d = jnp.stack([sx, sy], axis=1)
     return {

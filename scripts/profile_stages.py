@@ -65,7 +65,7 @@ def main():
 
     cfg = RenderConfig.for_resolution(
         WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=256,
-        dup_capacity_factor=4.0)
+        dup_capacity_factor=3.0)  # tight-rect allocation: 2.50M records at this scene
     scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
                                         log_scale_range=(-5.5, -3.2))
     cam = Camera(0.0, 0.0, -8.0, width=WIDTH, height=HEIGHT)

@@ -21,9 +21,12 @@ import time
 
 import numpy as np
 
-NUM_SPLATS = 3_616_103
+# bike-big.ply's count by default; SCALE_SPLATS=6000000 approximates the
+# README-recommended bicycle iteration_30000 capture (~6M splats,
+# /root/reference/README.md:8) -- BASELINE.md config-4's scale on one chip.
+NUM_SPLATS = int(os.environ.get("SCALE_SPLATS", "3616103"))
 WIDTH, HEIGHT = 1920, 1080
-PLY_PATH = "/tmp/bike_big_synth.ply"
+PLY_PATH = f"/tmp/scale_synth_{NUM_SPLATS}.ply"
 ITERS = 5
 
 
@@ -66,7 +69,7 @@ def main():
 
     cfg = RenderConfig.for_resolution(
         WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=128,
-        dup_capacity_factor=3.0)
+        dup_capacity_factor=2.2)  # tight-rect allocation shrink (r2)
     log(f"capacity {cfg.capacity(n)} records")
 
     params = {k: jnp.asarray(v) for k, v in params_np.items()

@@ -51,14 +51,32 @@ def _render(scene, cfg, grad=False):
 
 
 def test_cull_removes_records_and_is_output_exact():
+    # tight_rect=False: measure the per-record kernel cull against the
+    # reference's full 3-sigma-square allocation (with tight_rect on, most
+    # unreachable tiles are never allocated, so there is little left to cull).
     scene = ply_io.make_synthetic_scene(3000, seed=21, extent=2.5)
-    cfg_p, cfg_j = _cfgs()
+    cfg_p, cfg_j = _cfgs(tight_rect=False)
     img_p, stats = _render(scene, cfg_p)
     img_j, _ = _render(scene, cfg_j)
     culled = int(stats["culled_unreachable"])
     total = int(stats["num_records"])
     assert culled > 0.1 * total, (culled, total)
     np.testing.assert_allclose(img_p, img_j, atol=1e-4)
+
+
+def test_tight_rect_shrinks_allocation_output_exact():
+    """tight_rect performs the same cull at allocation time: fewer records
+    ever exist, and the image matches both the loose-rect Pallas path and
+    the jnp oracle exactly."""
+    scene = ply_io.make_synthetic_scene(3000, seed=21, extent=2.5)
+    cfg_tight, cfg_j = _cfgs()
+    cfg_loose = dataclasses.replace(cfg_tight, tight_rect=False)
+    img_t, stats_t = _render(scene, cfg_tight)
+    img_l, stats_l = _render(scene, cfg_loose)
+    img_j, _ = _render(scene, cfg_j)
+    assert int(stats_t["num_records"]) < int(stats_l["num_records"])
+    np.testing.assert_allclose(img_t, img_l, atol=1e-5)
+    np.testing.assert_allclose(img_t, img_j, atol=1e-4)
 
 
 def test_cull_exact_on_anisotropic_scene():
@@ -77,7 +95,7 @@ def test_cull_exact_on_anisotropic_scene():
     # sqrt(2 ln(op/alpha_min)) sigma ~ 2.8 sigma, so corner tiles can cull
     # (op > ~0.35 makes every AABB tile reachable -- nothing would cull)
     scene["opacities"] = np.full(n, -1.5, np.float32)
-    cfg_p, cfg_j = _cfgs()
+    cfg_p, cfg_j = _cfgs(tight_rect=False)
     img_p, stats = _render(scene, cfg_p)
     img_j, _ = _render(scene, cfg_j)
     assert int(stats["culled_unreachable"]) > 0
@@ -91,7 +109,7 @@ def test_cull_exact_near_alpha_cutoff():
     scene = ply_io.make_synthetic_scene(n, seed=13, extent=2.0)
     # activation is sigmoid(raw); alpha_min = 1/255 -> raw ~ logit(0.006)
     scene["opacities"] = np.full(n, -5.1, np.float32)
-    cfg_p, cfg_j = _cfgs()
+    cfg_p, cfg_j = _cfgs(tight_rect=False)
     img_p, stats = _render(scene, cfg_p)
     img_j, _ = _render(scene, cfg_j)
     # near the cutoff almost everything is unreachable

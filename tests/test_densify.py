@@ -46,10 +46,23 @@ def test_pad_renders_identically(use_pallas):
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
                                atol=1e-5)
     if use_pallas:
-        # every parked row's records die in the reachability cull
-        extra = int(stats1["culled_unreachable"]) - int(
-            stats0["culled_unreachable"])
-        assert extra >= 20, (stats0, stats1)
+        # Parked rows contribute zero compositable records. With tight_rect
+        # (the default) they are never even ALLOCATED (opacity < alpha_min
+        # -> zero-tile rect); with the reference rect they are allocated and
+        # must die in the expand kernel's reachability cull instead. Assert
+        # both mechanisms.
+        live0 = int(stats0["num_records"]) - int(stats0["culled_unreachable"])
+        live1 = int(stats1["num_records"]) - int(stats1["culled_unreachable"])
+        assert live1 == live0, (stats0, stats1)
+        cfg_loose = dataclasses.replace(cfg, tight_rect=False)
+        img2, stats2 = render_stats(trainer.params_from_raw(padded),
+                                    cam, cfg_loose)
+        np.testing.assert_allclose(np.asarray(img2), np.asarray(img0),
+                                   atol=1e-5)
+        _, stats0l = render_stats(params, cam, cfg_loose)
+        extra = int(stats2["culled_unreachable"]) - int(
+            stats0l["culled_unreachable"])
+        assert extra >= 20, (stats0l, stats2)
 
 
 def _dc(**kw):

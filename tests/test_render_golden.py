@@ -110,6 +110,14 @@ def test_nontrivial_camera(cfg):
 
 
 def test_stats_consistency(cfg):
+    # Reference-rect mode: record/bin statistics must match the golden
+    # replica exactly. (tight_rect shrinks allocation image-exactly but
+    # intentionally changes these counts; its exactness is covered by
+    # tests/test_tight_rect.py and by every image-parity test above, which
+    # all run with the tight_rect default.)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, tight_rect=False)
     scene = ply_io.make_synthetic_scene(500, seed=13, extent=3.0)
     cam = Camera(0.0, 0.0, -8.0, width=128, height=128)
     img_tpu, stats, img_gold, dbg = _render_both(scene, cam, cfg, 128, 128)
