@@ -21,7 +21,11 @@ shaders), re-designed TPU-first:
 from openglgaussiansplattingrenderer_tpu.config import RenderConfig
 from openglgaussiansplattingrenderer_tpu.camera import Camera
 from openglgaussiansplattingrenderer_tpu.splats import SplatScene, Splats
-from openglgaussiansplattingrenderer_tpu.render import render, render_stats
+from openglgaussiansplattingrenderer_tpu.render import (
+    render,
+    render_depth,
+    render_stats,
+)
 
 __version__ = "0.1.0"
 
@@ -31,6 +35,7 @@ __all__ = [
     "SplatScene",
     "Splats",
     "render",
+    "render_depth",
     "render_stats",
     "__version__",
 ]

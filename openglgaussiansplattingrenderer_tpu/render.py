@@ -169,6 +169,64 @@ def render(scene, camera, cfg: Optional[RenderConfig] = None,
     return image
 
 
+def render_depth(
+    params: Dict[str, jnp.ndarray],
+    view: jnp.ndarray,
+    vp: jnp.ndarray,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    mode: str = "ndc",
+    normalize: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Expected-depth map (H, W) plus coverage/alpha map (H, W).
+
+    Capability beyond the reference (it renders RGB only): the alpha-blend
+    weights w_k = alpha_k * T_k are linear in colour, so rendering with each
+    splat's colour replaced by its depth yields the expected depth
+    E[d] = sum_k w_k d_k through the SAME pipeline (Pallas fast path
+    included) with bitwise-identical weights to the RGB render -- no new
+    kernel, exact by construction.
+
+    mode="ndc": d = the [0, 1]-mapped NDC z the sorter orders by
+    (preprocess.glsl:91-94). mode="view": the view-space z coordinate
+    (sign follows the reference camera convention, Camera.cpp:57-65).
+    normalize=True divides by accumulated alpha (expected depth given a
+    hit); pixels with zero coverage return 0. Differentiable like the
+    colour render.
+    """
+    f32 = jnp.float32
+    means = params["means"].astype(f32)
+    mat = (vp if mode == "ndc" else view).astype(f32)
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    p2 = mx * mat[2, 0] + my * mat[2, 1] + mz * mat[2, 2] + mat[2, 3]
+    if mode == "ndc":
+        p3 = mx * mat[3, 0] + my * mat[3, 1] + mz * mat[3, 2] + mat[3, 3]
+        d = (p2 / jnp.maximum(p3, cfg.w_eps) + 1.0) * 0.5
+    elif mode == "view":
+        d = p2
+    else:
+        raise ValueError(f"unknown depth mode {mode!r}")
+
+    import dataclasses
+
+    params_d = {k: v for k, v in params.items() if k != "sh_rest"}
+    params_d["colors"] = jnp.broadcast_to(
+        (d * cfg.color_scale)[:, None], (means.shape[0], 3))
+    cfg_d = dataclasses.replace(cfg, sh_degree=0, background=(0.0, 0.0, 0.0))
+    img, stats = render_arrays(params_d, view, vp, focal_x, focal_y,
+                               tan_fovx, tan_fovy, width, height, cfg_d)
+    depth = img[..., 0]
+    alpha = img[..., 3]
+    if normalize:
+        depth = jnp.where(alpha > 0.0, depth / jnp.maximum(alpha, 1e-12), 0.0)
+    return depth, alpha, stats
+
+
 def render_loss(params, target, view, vp, focal_x, focal_y, tan_fovx,
                 tan_fovy, width: int, height: int, cfg: RenderConfig):
     """L2 image loss -- convenience for gradient tests and fitting."""

@@ -134,6 +134,25 @@ class Splats:
         self._warn_on_overflow()
         return self.last_image
 
+    def render_depth_camera(self, camera, mode: str = "ndc",
+                            normalize: bool = True):
+        """Expected-depth + coverage maps from a Camera (capability beyond
+        the reference; see ``render.render_depth``). Returns (depth, alpha)
+        as numpy (H, W) arrays."""
+        from openglgaussiansplattingrenderer_tpu.render import (
+            camera_args, render_depth,
+        )
+
+        a = camera_args(camera)
+        depth, alpha, stats = render_depth(
+            self._params(), jnp.asarray(a["view"]), jnp.asarray(a["vp"]),
+            a["focal_x"], a["focal_y"], a["tan_fovx"], a["tan_fovy"],
+            camera.width, camera.height, self.cfg, mode=mode,
+            normalize=normalize)
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        self._warn_on_overflow()
+        return np.asarray(depth), np.asarray(alpha)
+
     def cpu_render(self, view_matrix, width, height, focal_x, focal_y,
                    tan_fov_x, tan_fov_y, vp_matrix,
                    save_path: Optional[str] = "cpuRender.png") -> np.ndarray:

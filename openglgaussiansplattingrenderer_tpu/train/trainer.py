@@ -37,6 +37,12 @@ class TrainConfig:
     lr_colors: float = 2.5e-1      # colours live in 0..255 space
     lambda_dssim: float = 0.2
     steps: int = 200
+    # Standard 3DGS position-LR schedule (Kerbl et al. train.py): exponential
+    # log-interp decay from lr_means down to lr_means_final over
+    # lr_means_decay_steps, both scaled by the caller via scene extent.
+    # lr_means_final=None keeps the constant LR (round-1 behaviour).
+    lr_means_final: Optional[float] = None
+    lr_means_decay_steps: Optional[int] = None
 
 
 def raw_from_params(params: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -87,8 +93,19 @@ def make_optimizer(tc: TrainConfig,
     """Per-tensor Adam. ``keys`` must match the raw pytree (pass
     ``raw.keys()`` when it carries ``sh_rest``). SH coefficients use
     lr_colors / 20, the standard 3DGS ratio for the rest bands."""
+    lr_means = tc.lr_means
+    if tc.lr_means_final is not None:
+        # log-linear interpolation lr(t) = exp(lerp(ln lr0, ln lr1, t/T)),
+        # exactly 3DGS's get_expon_lr_func shape.
+        steps = tc.lr_means_decay_steps or tc.steps
+
+        def lr_means(count):
+            t = jnp.clip(count / steps, 0.0, 1.0)
+            return jnp.exp((1.0 - t) * jnp.log(tc.lr_means)
+                           + t * jnp.log(tc.lr_means_final))
+
     lrs = {
-        "means": tc.lr_means,
+        "means": lr_means,
         "log_scales": tc.lr_scales,
         "quats": tc.lr_quats,
         "logit_opacities": tc.lr_opacities,

@@ -36,6 +36,9 @@ def main():
                     help="use the XLA oracle pipeline")
     ap.add_argument("--golden", action="store_true",
                     help="render with the numpy golden pipeline (cpuRender)")
+    ap.add_argument("--depth", action="store_true",
+                    help="render an expected-depth map (normalized to [0,1] "
+                         "over covered pixels) instead of RGB")
     ap.add_argument("--orbit", type=int, default=0,
                     help="render an N-frame orbit instead of one frame")
     ap.add_argument("--out-dir", default="frames")
@@ -80,7 +83,17 @@ def main():
         print("orbit:", summary)
         return
 
-    if args.golden:
+    if args.depth:
+        from openglgaussiansplattingrenderer_tpu.io.png import save_png
+
+        depth, alpha = splats.render_depth_camera(cam)
+        covered = alpha > 1e-3
+        if covered.any():
+            lo, hi = depth[covered].min(), depth[covered].max()
+            depth = np.where(covered, (depth - lo) / max(hi - lo, 1e-12), 0.0)
+        save_png(args.output, np.repeat(depth[..., None], 3, axis=-1)
+                 .astype(np.float32))
+    elif args.golden:
         a = camera_args(cam)
         img = splats.cpu_render(a["view"], args.width, args.height,
                                 a["focal_x"], a["focal_y"], a["tan_fovx"],

@@ -52,6 +52,11 @@ def main():
                     help="first step eligible for densification")
     ap.add_argument("--grad-threshold", type=float, default=2e-4)
     ap.add_argument("--lambda-dssim", type=float, default=0.2)
+    ap.add_argument("--lr-means-final", type=float, default=0.0,
+                    help="enable the 3DGS exponential position-LR decay "
+                         "down to this value (0 = constant LR)")
+    ap.add_argument("--lr-decay-steps", type=int, default=0,
+                    help="position-LR decay horizon (default: --steps)")
     ap.add_argument("--lr-scale", type=float, default=1.0,
                     help="multiplier on all default learning rates")
     ap.add_argument("--sh-degree", type=int, default=0,
@@ -150,7 +155,10 @@ def main():
         steps=args.steps, lambda_dssim=args.lambda_dssim,
         lr_means=1.6e-4 * args.lr_scale, lr_scales=5e-3 * args.lr_scale,
         lr_quats=1e-3 * args.lr_scale, lr_opacities=5e-2 * args.lr_scale,
-        lr_colors=2.5e-1 * args.lr_scale)
+        lr_colors=2.5e-1 * args.lr_scale,
+        lr_means_final=(args.lr_means_final * args.lr_scale
+                        if args.lr_means_final > 0 else None),
+        lr_means_decay_steps=args.lr_decay_steps or None)
 
     if args.densify:
         capacity = args.capacity or 4 * start["means"].shape[0]

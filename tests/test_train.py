@@ -112,3 +112,39 @@ def test_fit_trains_sh_coefficients():
     assert float(np.abs(np.asarray(fitted["sh_rest"])).max()) > 1e-4, \
         "sh_rest never received gradient"
     assert hist[-1]["loss"] < hist[0]["loss"], hist
+
+
+def test_position_lr_decay_schedule():
+    """lr_means_final enables the 3DGS exponential position-LR decay: with
+    constant unit gradients Adam's step magnitude tracks the LR, so the
+    means step must shrink toward lr_means_final while a constant-LR tensor
+    (colors) stays put."""
+    import jax
+    import optax
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        TrainConfig, make_optimizer,
+    )
+
+    tc = TrainConfig(lr_means=1e-2, lr_means_final=1e-4,
+                     lr_means_decay_steps=50, lr_colors=1e-2)
+    opt = make_optimizer(tc)
+    raw = {
+        "means": jnp.zeros((4, 3)),
+        "log_scales": jnp.zeros((4, 3)),
+        "quats": jnp.zeros((4, 4)),
+        "logit_opacities": jnp.zeros((4,)),
+        "colors": jnp.zeros((4, 3)),
+    }
+    grads = jax.tree.map(jnp.ones_like, raw)
+    state = opt.init(raw)
+    steps_means, steps_colors = [], []
+    for _ in range(60):
+        updates, state = opt.update(grads, state, raw)
+        raw = optax.apply_updates(raw, updates)
+        steps_means.append(float(jnp.abs(updates["means"]).max()))
+        steps_colors.append(float(jnp.abs(updates["colors"]).max()))
+    # early step ~ lr_means, late step ~ lr_means_final
+    assert steps_means[1] > 3e-3, steps_means[1]
+    assert steps_means[-1] < 3e-4, steps_means[-1]
+    # colors LR is constant: step magnitude unchanged
+    assert abs(steps_colors[-1] - steps_colors[1]) < 1e-4
