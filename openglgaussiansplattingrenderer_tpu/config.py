@@ -97,6 +97,15 @@ class RenderConfig:
     # duplicate-count statistics) exactly.
     tight_rect: bool = True
 
+    # Anti-aliased ("opacity compensation") mode, off by default (the
+    # reference has no AA): scale each splat's opacity by
+    # sqrt(det(cov2D) / det(cov2D + dilation*I)) so the screen-space
+    # dilation (preprocess.glsl:126-128's +0.3) preserves each Gaussian's
+    # total integrated contribution instead of brightening sub-pixel splats.
+    # This is the standard compensation used by Mip-Splatting-style
+    # renderers; scenes trained with it need it on to render correctly.
+    antialiased: bool = False
+
     @property
     def num_tiles(self) -> int:
         return self.grid_x * self.grid_y

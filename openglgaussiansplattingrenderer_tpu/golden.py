@@ -91,6 +91,13 @@ def golden_preprocess(params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
         radius = np.ceil(cfg.radius_sigma * np.sqrt(np.maximum(lam, 0.0))).astype(f32)
     valid = ~culled & (det != 0) & np.isfinite(det) & np.isfinite(sxy).all(axis=1)
 
+    if cfg.antialiased:
+        # Opacity compensation, mirroring ops/projection.py (cfg.antialiased)
+        det_nodil = (a2 - f32(cfg.dilation)) * (c2 - f32(cfg.dilation)) - b2 * b2
+        comp = np.sqrt(np.maximum(det_nodil, f32(1e-30)) /
+                       np.maximum(det, f32(1e-30)))
+        opac = opac * np.where(valid, comp, f32(1.0))
+
     return {
         "mean2d": sxy, "conic": conic, "depth": z01, "radius": radius,
         "opacity": opac, "valid": valid, "culled": culled,

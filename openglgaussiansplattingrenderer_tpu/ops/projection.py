@@ -114,6 +114,19 @@ def preprocess(
     inv_det = 1.0 / safe_det
     conic = jnp.stack([c2d * inv_det, -b2d * inv_det, a2d * inv_det], axis=1)
 
+    opacities = opacities.astype(f32)
+    if cfg.antialiased:
+        # Opacity compensation (cfg.antialiased): the +dilation*I above
+        # inflates every Gaussian's footprint; scaling opacity by
+        # sqrt(det_before / det_after) keeps its integrated contribution
+        # invariant. Differentiable; downstream (tight_rect ellipse, record
+        # cull, compositor) all consume the compensated opacity.
+        det_nodil = ((a2d - cfg.dilation) * (c2d - cfg.dilation)
+                     - b2d * b2d)
+        comp = jnp.sqrt(jnp.maximum(det_nodil, 1e-30) /
+                        jnp.maximum(det, 1e-30))
+        opacities = opacities * jnp.where(valid, comp, 1.0)
+
     # --- bounding radius via eigenvalues (preprocess.glsl:139-142) --------
     mid = 0.5 * (a2d + c2d)
     lam_max = mid + jnp.sqrt(jnp.maximum(cfg.eig_floor, mid * mid - det))

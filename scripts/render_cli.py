@@ -36,6 +36,9 @@ def main():
                     help="use the XLA oracle pipeline")
     ap.add_argument("--golden", action="store_true",
                     help="render with the numpy golden pipeline (cpuRender)")
+    ap.add_argument("--antialiased", action="store_true",
+                    help="opacity-compensated (anti-aliased) mode for scenes "
+                         "trained with dilation compensation")
     ap.add_argument("--depth", action="store_true",
                     help="render an expected-depth map (normalized to [0,1] "
                          "over covered pixels) instead of RGB")
@@ -61,7 +64,8 @@ def main():
     from openglgaussiansplattingrenderer_tpu.viewer import offline
 
     kw = dict(use_pallas=not args.no_pallas,
-              dup_capacity_factor=args.capacity_factor, chunk=args.chunk)
+              dup_capacity_factor=args.capacity_factor, chunk=args.chunk,
+              antialiased=args.antialiased)
     if args.tile_px > 0:
         cfg = RenderConfig.for_resolution(args.width, args.height,
                                           tile_px=args.tile_px, **kw)

@@ -52,6 +52,9 @@ def main():
                     help="first step eligible for densification")
     ap.add_argument("--grad-threshold", type=float, default=2e-4)
     ap.add_argument("--lambda-dssim", type=float, default=0.2)
+    ap.add_argument("--antialiased", action="store_true",
+                    help="train with opacity compensation (anti-aliased "
+                         "mode); render the result with --antialiased too")
     ap.add_argument("--lr-means-final", type=float, default=0.0,
                     help="enable the 3DGS exponential position-LR decay "
                          "down to this value (0 = constant LR)")
@@ -93,7 +96,7 @@ def main():
         args.width, args.height, tile_px=args.tile_px,
         use_pallas=not args.no_pallas, chunk=args.chunk,
         dup_capacity_factor=args.capacity_factor,
-        sh_degree=args.sh_degree)
+        sh_degree=args.sh_degree, antialiased=args.antialiased)
 
     rng = np.random.default_rng(args.seed)
     if args.scene.endswith(".json"):
