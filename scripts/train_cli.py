@@ -16,6 +16,7 @@ Examples:
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -23,9 +24,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("scene", help="target 3DGS PLY file, or a NeRF-style "
+    ap.add_argument("scene", help="target 3DGS PLY file, a NeRF-style "
                     "transforms.json posed-image dataset (fit from images, "
-                    "random init)")
+                    "random init), or a COLMAP workspace/model directory "
+                    "(fit from images, SfM point-cloud init)")
     ap.add_argument("--init-extent", type=float, default=2.0,
                     help="dataset mode: radius of the random init cloud")
     ap.add_argument("-o", "--output", default="fitted.ply")
@@ -99,7 +101,35 @@ def main():
         sh_degree=args.sh_degree, antialiased=args.antialiased)
 
     rng = np.random.default_rng(args.seed)
-    if args.scene.endswith(".json"):
+    if os.path.isdir(args.scene):
+        # COLMAP workspace: <dir>/sparse/0 model + <dir>/images, or the
+        # model directory itself. Init from the SfM point cloud (3DGS
+        # sec. 4). Pass --width/--height matching the capture resolution.
+        from openglgaussiansplattingrenderer_tpu.io import colmap as colmap_io
+
+        sparse = args.scene
+        if not any(os.path.exists(os.path.join(sparse, "cameras" + e))
+                   for e in (".bin", ".txt")):
+            sparse = os.path.join(args.scene, "sparse", "0")
+        cams, images, points = colmap_io.load_colmap(sparse)
+        pairs = [(c, im) for c, im in zip(cams, images) if im is not None]
+        if not pairs:
+            print("FATAL: COLMAP model has no readable images",
+                  file=sys.stderr)
+            sys.exit(1)
+        cams = [c for c, _ in pairs]
+        targets = [np.asarray(im, np.float32) for _, im in pairs]
+        start = colmap_io.init_params_from_points(
+            points["xyz"], points["rgb"],
+            max_points=args.init_count or None, seed=args.seed)
+        if args.sh_degree > 0:
+            start["sh_rest"] = np.zeros((len(start["means"]), 45),
+                                        np.float32)
+        extent = float(np.abs(start["means"]
+                              - start["means"].mean(0)).max()) or 1.0
+        print(f"COLMAP: {len(cams)} posed images, "
+              f"{len(start['means'])} SfM seed points", file=sys.stderr)
+    elif args.scene.endswith(".json"):
         # posed-image dataset: fit from the images, random init cloud
         from openglgaussiansplattingrenderer_tpu.io import dataset as ds_io
 

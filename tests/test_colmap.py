@@ -1,0 +1,231 @@
+"""COLMAP sparse-model ingestion (io/colmap.py) -- capability beyond the
+reference. Binary fixtures are written by the tests themselves via the
+module's writers (COLMAP's documented binary schema), so the reader is
+checked against an independent encode of known poses, and the pose
+convention (OpenCV world-to-camera -> the renderer's GL-frame view) is
+verified by rendering.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.io import colmap as cm
+from openglgaussiansplattingrenderer_tpu.io import dataset as ds
+from openglgaussiansplattingrenderer_tpu.io.png import save_png
+
+
+def _gl_c2w(pos, yaw_deg):
+    """A camera-to-world in the OpenGL frame: yaw about +y, then translate."""
+    a = np.deg2rad(yaw_deg)
+    c, s = np.cos(a), np.sin(a)
+    m = np.eye(4)
+    m[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    m[:3, 3] = pos
+    return m
+
+
+def _colmap_pose_from_gl(c2w_gl):
+    """Invert the loader's convention: GL c2w -> COLMAP (qvec, tvec)."""
+    c2w_cv = c2w_gl @ np.diag([1.0, -1.0, -1.0, 1.0])
+    w2c = np.linalg.inv(c2w_cv)
+    return cm.rotmat2qvec(w2c[:3, :3]), w2c[:3, 3]
+
+
+def _write_model(d, poses, w=64, h=48, fl=70.0, names=None,
+                 xyz=None, rgb=None):
+    cams = {1: {"model": "PINHOLE", "width": w, "height": h,
+                "params": np.array([fl, fl, w / 2.0, h / 2.0])}}
+    cm.write_cameras_bin(os.path.join(d, "cameras.bin"), cams)
+    images = [{"image_id": i + 1, "qvec": q, "tvec": t, "camera_id": 1,
+               "name": (names[i] if names else f"im{i:03d}.png")}
+              for i, (q, t) in enumerate(poses)]
+    cm.write_images_bin(os.path.join(d, "images.bin"), images)
+    if xyz is None:
+        xyz = np.zeros((1, 3))
+        rgb = np.zeros((1, 3), np.uint8)
+    cm.write_points3d_bin(os.path.join(d, "points3D.bin"), xyz, rgb)
+
+
+def test_pose_roundtrip_binary(tmp_path):
+    """Known GL c2w -> COLMAP binary -> loader must reproduce the exact
+    bundle bundle_from_c2w builds directly."""
+    c2ws = [_gl_c2w([0.5, -0.2, -4.0], 25.0), _gl_c2w([-1.0, 0.3, -3.0], -40.0)]
+    poses = [_colmap_pose_from_gl(m) for m in c2ws]
+    _write_model(str(tmp_path), poses)
+    bundles, images, points = cm.load_colmap(str(tmp_path), load_images=False)
+    assert len(bundles) == 2
+    for got, c2w in zip(bundles, c2ws):
+        want = ds.bundle_from_c2w(c2w, 64, 48, fl_x=70.0, fl_y=70.0)
+        np.testing.assert_allclose(got["view"], want["view"], atol=1e-5)
+        np.testing.assert_allclose(got["vp"], want["vp"], atol=1e-4)
+        assert got["width"] == 64 and got["height"] == 48
+        np.testing.assert_allclose(got["tan_fovx"], want["tan_fovx"])
+
+
+def test_binary_and_text_readers_agree(tmp_path):
+    poses = [_colmap_pose_from_gl(_gl_c2w([0, 0, -3.0], 10.0))]
+    xyz = np.array([[0.1, 0.2, 0.3], [-1.0, 0.5, 2.0]])
+    rgb = np.array([[255, 0, 10], [0, 128, 255]], np.uint8)
+    _write_model(str(tmp_path), poses, xyz=xyz, rgb=rgb)
+    # hand-write the text flavour of the same model
+    q, t = poses[0]
+    with open(tmp_path / "cameras.txt", "w") as f:
+        f.write("# comment\n1 PINHOLE 64 48 70.0 70.0 32.0 24.0\n")
+    with open(tmp_path / "images.txt", "w") as f:
+        f.write("# comment\n")
+        f.write("1 " + " ".join(f"{v:.17g}" for v in [*q, *t])
+                + " 1 im000.png\n\n")
+    with open(tmp_path / "points3D.txt", "w") as f:
+        f.write("# comment\n")
+        for i in range(2):
+            f.write(f"{i} {xyz[i, 0]} {xyz[i, 1]} {xyz[i, 2]} "
+                    f"{rgb[i, 0]} {rgb[i, 1]} {rgb[i, 2]} 0.5 \n")
+
+    cb = cm.read_cameras_bin(str(tmp_path / "cameras.bin"))
+    ct = cm.read_cameras_txt(str(tmp_path / "cameras.txt"))
+    np.testing.assert_allclose(cb[1]["params"], ct[1]["params"])
+    ib = cm.read_images_bin(str(tmp_path / "images.bin"))
+    it = cm.read_images_txt(str(tmp_path / "images.txt"))
+    np.testing.assert_allclose(ib[0]["qvec"], it[0]["qvec"], atol=1e-12)
+    np.testing.assert_allclose(ib[0]["tvec"], it[0]["tvec"], atol=1e-12)
+    xb, rb, _ = cm.read_points3d_bin(str(tmp_path / "points3D.bin"))
+    xt, rt, _ = cm.read_points3d_txt(str(tmp_path / "points3D.txt"))
+    np.testing.assert_allclose(xb, xt)
+    np.testing.assert_array_equal(rb, rt)
+
+
+def test_render_through_colmap_pose(tmp_path):
+    """A splat placed on the camera axis must land at the image center when
+    rendered through a COLMAP-loaded pose -- convention check by pixels,
+    not just matrices."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.render import render_arrays
+
+    # GL camera at origin looking down -z (identity c2w); splat at z=-3
+    c2w = np.eye(4)
+    poses = [_colmap_pose_from_gl(c2w)]
+    _write_model(str(tmp_path), poses, w=64, h=64, fl=64.0)
+    bundles, _, _ = cm.load_colmap(str(tmp_path), load_images=False)
+    b = bundles[0]
+
+    scene = ply_io.make_synthetic_scene(1, seed=0, extent=0.0)
+    scene["means"] = np.array([[0.0, 0.0, -3.0]], np.float32)
+    scene["scales"] = np.full((1, 3), -2.5, np.float32)  # raw -> exp later?
+    # make_synthetic_scene returns activated params; set activated scale
+    scene["scales"] = np.full((1, 3), 0.08, np.float32)
+    scene["opacities"] = np.array([0.9], np.float32)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cfg = RenderConfig.for_resolution(64, 64, tile_px=32, use_pallas=False,
+                                      max_per_tile=256, chunk=64,
+                                      dup_capacity_factor=64.0)
+    img, _ = render_arrays(
+        params, jnp.asarray(b["view"]), jnp.asarray(b["vp"]),
+        b["focal_x"], b["focal_y"], b["tan_fovx"], b["tan_fovy"],
+        64, 64, cfg)
+    img = np.asarray(img)[..., :3].sum(-1)
+    assert img.max() > 0.05, "splat not visible through COLMAP pose"
+    cy, cx = np.unravel_index(np.argmax(img), img.shape)
+    assert abs(cx - 32) <= 1 and abs(cy - 32) <= 1, (cx, cy)
+
+
+def test_init_params_from_points():
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(0, 1, (200, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 255, (200, 3)).astype(np.float32)
+    p = cm.init_params_from_points(xyz, rgb, opacity=0.1)
+    assert p["means"].shape == (200, 3)
+    np.testing.assert_allclose(p["colors"], rgb)
+    assert (p["opacities"] == np.float32(0.1)).all()
+    np.testing.assert_allclose(np.linalg.norm(p["quats"], axis=1), 1.0)
+    # scales track local density: a tight cluster gets smaller scales
+    tight = np.concatenate([xyz, xyz[:50] + 1e-3], axis=0)
+    rgb2 = np.concatenate([rgb, rgb[:50]], axis=0)
+    p2 = cm.init_params_from_points(tight, rgb2)
+    assert p2["scales"][:50].mean() < p["scales"][:50].mean()
+    # subsampling cap
+    p3 = cm.init_params_from_points(xyz, rgb, max_points=64)
+    assert p3["means"].shape == (64, 3)
+
+
+def test_distortion_warning(tmp_path):
+    cams = {1: {"model": "SIMPLE_RADIAL", "width": 64, "height": 48,
+                "params": np.array([70.0, 32.0, 24.0, 0.05])}}
+    cm.write_cameras_bin(str(tmp_path / "cameras.bin"), cams)
+    q, t = _colmap_pose_from_gl(_gl_c2w([0, 0, -3.0], 0.0))
+    cm.write_images_bin(str(tmp_path / "images.bin"),
+                        [{"image_id": 1, "qvec": q, "tvec": t,
+                          "camera_id": 1, "name": "a.png"}])
+    cm.write_points3d_bin(str(tmp_path / "points3D.bin"),
+                          np.zeros((1, 3)), np.zeros((1, 3), np.uint8))
+    with pytest.warns(RuntimeWarning, match="distortion"):
+        cm.load_colmap(str(tmp_path), load_images=False)
+
+
+def test_train_cli_colmap_end_to_end(tmp_path):
+    """Full workspace: render targets from a tiny known cloud, package them
+    as a COLMAP model, and fit from scratch via the CLI's COLMAP branch."""
+    import jax.numpy as jnp
+
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.render import render_arrays
+
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(40, seed=6, extent=1.0)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cfg = RenderConfig.for_resolution(w, h, tile_px=32, use_pallas=False,
+                                      max_per_tile=256, chunk=64,
+                                      dup_capacity_factor=32.0)
+
+    ws = tmp_path / "capture"
+    sparse = ws / "sparse" / "0"
+    imgdir = ws / "images"
+    sparse.mkdir(parents=True)
+    imgdir.mkdir(parents=True)
+
+    # GL cameras look down -z: place them at +z facing the origin cloud
+    c2ws = [_gl_c2w([0, 0, 4.0], 0.0), _gl_c2w([1.2, 0, 3.8], 17.0)]
+    poses = [_colmap_pose_from_gl(m) for m in c2ws]
+    names = [f"v{i}.png" for i in range(len(poses))]
+    _write_model(str(sparse), poses, w=w, h=h, fl=70.0, names=names,
+                 xyz=np.asarray(scene["means"], np.float64),
+                 rgb=np.clip(np.asarray(scene["colors"]), 0, 255)
+                 .astype(np.uint8))
+
+    for name, c2w in zip(names, c2ws):
+        b = ds.bundle_from_c2w(c2w, w, h, fl_x=70.0, fl_y=70.0)
+        img, _ = render_arrays(
+            params, jnp.asarray(b["view"]), jnp.asarray(b["vp"]),
+            b["focal_x"], b["focal_y"], b["tan_fovx"], b["tan_fovy"],
+            w, h, cfg)
+        arr = np.asarray(img)[..., :3]
+        assert arr.max() > 0.02, "test camera does not see the scene"
+        save_png(str(imgdir / name), arr)
+
+    out = tmp_path / "fit.ply"
+    r = subprocess.run(
+        [sys.executable, "scripts/train_cli.py", str(ws),
+         "-o", str(out), "--out-png", str(tmp_path / "cmp.png"),
+         "--history", str(tmp_path / "hist.json"),
+         "--width", str(w), "--height", str(h), "--steps", "30",
+         "--no-pallas", "--chunk", "64", "--capacity-factor", "32",
+         "--tile-px", "32", "--platform", "cpu", "--log-every", "10"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out.exists()
+    assert "COLMAP: 2 posed images" in r.stderr
+    import json
+
+    hist = json.loads((tmp_path / "hist.json").read_text())["history"]
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
