@@ -35,7 +35,10 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from openglgaussiansplattingrenderer_tpu.ops.transforms import quat_to_rotmat
+from openglgaussiansplattingrenderer_tpu.ops.transforms import (
+    inverse_sigmoid,
+    quat_to_rotmat,
+)
 
 DEAD_LOGIT = -20.0        # sigmoid(-20) ~ 2e-9 << 1/255 -> culled at expand
 DEAD_LOG_SCALE = -20.0    # radius ~ 0 -> at most one (culled) record
@@ -52,6 +55,12 @@ class DensifyConfig:
     start_step: int = 50
     stop_step: int = 1_000_000
     interval: int = 100               # densify every N steps
+    # Periodic opacity reset (3DGS train.py: every 3000 steps, clamp all
+    # opacities to <= reset ceiling and wipe the opacity optimizer moments)
+    # -- kills floaters the pruning pass would otherwise keep forever.
+    # 0 disables (default; the short fits in tests don't need it).
+    opacity_reset_interval: int = 0
+    opacity_reset_ceiling: float = 0.01
 
 
 def pad_to_capacity(
@@ -83,6 +92,31 @@ def pad_to_capacity(
         padded["sh_rest"] = pad_rows(raw["sh_rest"], 0.0)
     alive = jnp.arange(capacity) < n
     return padded, alive
+
+
+def reset_opacity(raw: Dict[str, jnp.ndarray],
+                  ceiling: float = 0.01) -> Dict[str, jnp.ndarray]:
+    """Clamp every row's opacity to <= ceiling (3DGS's periodic reset).
+    Dead rows sit at DEAD_LOGIT far below any sensible ceiling, so the
+    clamp is a no-op for them."""
+    cap_logit = inverse_sigmoid(jnp.float32(ceiling))
+    lo = raw["logit_opacities"]
+    return dict(raw, logit_opacities=jnp.minimum(lo, cap_logit))
+
+
+def reset_opacity_moments(opt_state, capacity: int):
+    """Zero the optimizer moments of the ``logit_opacities`` tensor (the
+    original replaces the opacity optimizer state wholesale after a reset
+    -- stale Adam moments would immediately push opacities back up)."""
+    def f(path, leaf):
+        in_op = any(getattr(p, "key", None) == "logit_opacities"
+                    for p in path)
+        if (in_op and hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == capacity):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(f, opt_state)
 
 
 def _rank_index(mask: jnp.ndarray, order_key: jnp.ndarray) -> jnp.ndarray:
@@ -268,6 +302,16 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
             if verbose:
                 d = {k: int(v) for k, v in dstats.items()}
                 print(f"step {i}: densify {d}")
+
+        if (dc.opacity_reset_interval and i > 0 and i < dc.stop_step
+                and i % dc.opacity_reset_interval == 0):
+            state = trainer.TrainState(
+                reset_opacity(state.raw, dc.opacity_reset_ceiling),
+                reset_opacity_moments(state.opt_state, dc.capacity),
+                state.step)
+            if verbose:
+                print(f"step {i}: opacity reset (<= "
+                      f"{dc.opacity_reset_ceiling})")
 
         if i % log_every == 0 or i == tc.steps - 1:
             m = {"loss": float(metrics["loss"]),

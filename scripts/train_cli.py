@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--densify-start", type=int, default=50,
                     help="first step eligible for densification")
     ap.add_argument("--grad-threshold", type=float, default=2e-4)
+    ap.add_argument("--opacity-reset-interval", type=int, default=0,
+                    help="3DGS periodic opacity reset every N steps "
+                         "(0 = off; the paper uses 3000)")
     ap.add_argument("--lambda-dssim", type=float, default=0.2)
     ap.add_argument("--antialiased", action="store_true",
                     help="train with opacity compensation (anti-aliased "
@@ -200,7 +203,8 @@ def main():
                            scene_extent=extent,
                            interval=args.densify_interval,
                            start_step=args.densify_start,
-                           stop_step=int(args.steps * 0.8))
+                           stop_step=int(args.steps * 0.8),
+                           opacity_reset_interval=args.opacity_reset_interval)
         fitted, alive, hist = fit_scene_adaptive(
             start, targets, cams, cfg, dc, tc=tc, seed=args.seed,
             log_every=args.log_every)

@@ -244,3 +244,62 @@ def test_checkpoint_roundtrip_with_densify_state(tmp_path):
     np.testing.assert_array_equal(extras["alive"], np.asarray(alive))
     np.testing.assert_array_equal(extras["grad_accum"], np.asarray(accum))
     np.testing.assert_array_equal(extras["seen_count"], np.asarray(seen))
+
+
+def test_reset_opacity_clamps_and_wipes_moments():
+    import optax
+
+    raw, _ = _raw_scene(8)
+    padded, alive = dn.pad_to_capacity(raw, 16)
+    padded["logit_opacities"] = padded["logit_opacities"].at[:8].set(2.0)
+
+    out = dn.reset_opacity(padded, ceiling=0.01)
+    op = np.asarray(trainer.params_from_raw(out)["opacities"])
+    assert (op[:8] <= 0.01 + 1e-6).all()
+    # dead rows stay dead (far below the ceiling already)
+    assert (op[8:] < 1e-6).all()
+    # other tensors untouched
+    np.testing.assert_array_equal(np.asarray(out["means"]),
+                                  np.asarray(padded["means"]))
+
+    tc = trainer.TrainConfig()
+    opt = trainer.make_optimizer(tc)
+    state = opt.init(padded)
+    g = jax.tree.map(jnp.ones_like, padded)
+    _, state = opt.update(g, state, padded)
+    state2 = dn.reset_opacity_moments(state, 16)
+
+    leaves = jax.tree_util.tree_leaves_with_path(state2)
+    touched = wiped = 0
+    for path, leaf in leaves:
+        in_op = any(getattr(p, "key", None) == "logit_opacities"
+                    for p in path)
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == 16):
+            continue
+        if in_op:
+            wiped += 1
+            assert float(jnp.abs(leaf).max()) == 0.0
+        else:
+            touched += 1
+            assert float(jnp.abs(leaf).max()) > 0.0  # moments survive
+    assert wiped >= 2 and touched >= 2  # Adam mu+nu per tensor
+
+
+def test_adaptive_fit_with_opacity_reset():
+    """End-to-end: a reset on the final iteration leaves every opacity at
+    or below the ceiling, and the fit still runs to completion."""
+    raw, params = _raw_scene(10, seed=5, extent=1.0)
+    cam = Camera(0.0, 0.0, -4.0, width=64, height=64)
+    img, _ = render_stats(params, cam, CFG)
+    target = np.asarray(img[..., :3])
+
+    tc = trainer.TrainConfig(steps=21, lambda_dssim=0.0)
+    dc = dn.DensifyConfig(capacity=16, grad_threshold=1e9,  # no densify
+                          scene_extent=1.0, start_step=1000,
+                          opacity_reset_interval=20)
+    fitted, alive, hist = dn.fit_scene_adaptive(
+        params, [target], [cam], CFG, dc, tc=tc, verbose=False,
+        log_every=10)
+    op = np.asarray(fitted["opacities"])[np.asarray(alive)]
+    assert (op <= 0.01 + 1e-6).all(), op.max()
