@@ -120,6 +120,22 @@ def _f0(x):
 # payload sort with re-sort backward
 # ---------------------------------------------------------------------------
 
+# "payload": one (2+NUM_FIELDS)-operand lax.sort -- every merge pass moves
+#   ~44 B/record. "gather": sort only (key, iota) (8 B/record through the
+#   sort), then apply the permutation with one XLA gather per field; the
+#   backward applies the inverse permutation the same way (one 2-op sort to
+#   invert + per-field gathers). Bit-identical outputs. Measured on v5e at
+#   the bench record count (scripts/sort2_experiment.py, 2.5M records):
+#   payload sort 21.7 ms; 2-op sort 6.1 ms but the 9 XLA gathers cost
+#   244 ms (~100x off HBM bandwidth) -- TPU gather is scalar-bound, so
+#   "payload" stays the default and "gather" is a measured dead end kept
+#   for the record.
+SORT_MODE = "payload"
+
+
+def _permute(fields, perm):
+    return tuple(jnp.take(f, perm, axis=0) for f in fields)
+
 
 @jax.custom_vjp
 def sort_with_payload(key, fields: Tuple[jnp.ndarray, ...]):
@@ -129,6 +145,9 @@ def sort_with_payload(key, fields: Tuple[jnp.ndarray, ...]):
     re-sorts the cotangents by the recorded source index (no scatter).
     """
     idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    if SORT_MODE == "gather":
+        sk, si = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+        return sk, si, _permute(tuple(fields), si)
     out = jax.lax.sort((key, idx) + tuple(fields), num_keys=1, is_stable=True)
     return out[0], out[1], tuple(out[2:])
 
@@ -141,14 +160,23 @@ def _swp_fwd(key, fields):
 def _swp_bwd(res, g):
     si, key_proto = res
     _, _, g_fields = g
-    unsorted = jax.lax.sort((si,) + tuple(g_fields), num_keys=1, is_stable=True)
+    if SORT_MODE == "gather":
+        # si is a full permutation (idx = arange), so the cotangent of the
+        # forward gather is a gather by the inverse permutation.
+        idx = jnp.arange(si.shape[0], dtype=jnp.int32)
+        _, inv = jax.lax.sort((si, idx), num_keys=1, is_stable=True)
+        unsorted_fields = _permute(tuple(g_fields), inv)
+    else:
+        out = jax.lax.sort((si,) + tuple(g_fields), num_keys=1,
+                           is_stable=True)
+        unsorted_fields = tuple(out[1:])
     # The sort order itself carries no gradient (stop-gradient through the
     # key, as in diff-gaussian-rasterization -- SURVEY.md hard part #3).
     if jnp.issubdtype(key_proto.dtype, jnp.floating):
         d_key = jnp.zeros(si.shape, key_proto.dtype)
     else:
         d_key = _f0(si)
-    return (d_key, tuple(unsorted[1:]))
+    return (d_key, unsorted_fields)
 
 
 sort_with_payload.defvjp(_swp_fwd, _swp_bwd)

@@ -22,6 +22,8 @@ ITERS = 20
 REPEATS = 3
 # (power formulation, exit rows, chunk, sub_chunks, sub_gate);
 # exit rows None -> whole tile; sub_chunks 1 -> whole-chunk gating
+# SWEEP_FAST=1 trims to the exit-model-predicted contenders (cold compiles
+# on the tunnel run ~3 min/program, so the full matrix is a multi-hour run).
 VARIANTS = [
     ("direct", None, 128, 1, True), ("direct", 8, 128, 1, True),
     ("sos", None, 128, 1, True), ("sos", 8, 128, 1, True),
@@ -34,6 +36,16 @@ VARIANTS = [
     ("sep", 8, 128, 8, True), ("direct", 8, 256, 8, True),
     ("sep", 8, 128, 4, False), ("sep", 8, 128, 8, False),
 ]
+BWD_VARIANTS = [("direct", None, 1), ("direct", 8, 1),
+                ("sep", None, 1), ("sep", 8, 1),
+                ("direct", 8, 4), ("sep", 8, 4)]
+
+import os
+
+if os.environ.get("SWEEP_FAST"):
+    VARIANTS = [("direct", None, 128, 1, True), ("direct", 8, 128, 1, True),
+                ("sep", 8, 128, 1, True), ("sep", 8, 128, 4, True)]
+    BWD_VARIANTS = [("direct", None, 1), ("direct", 8, 1), ("sep", 8, 1)]
 
 
 def log(*a):
@@ -140,9 +152,7 @@ def main():
     # bwd knobs too)
     pc.FWD_EXIT_ROWS = None
     pc.SUB_GATE = True
-    for form, rows, subc in (("direct", None, 1), ("direct", 8, 1),
-                             ("sep", None, 1), ("sep", 8, 1),
-                             ("direct", 8, 4), ("sep", 8, 4)):
+    for form, rows, subc in BWD_VARIANTS:
         pc.POWER_FORM = form
         pc.BWD_EXIT_ROWS = rows
         pc.SUB_CHUNKS = subc

@@ -38,6 +38,33 @@ def test_sort_with_payload_matches_argsort(rng):
     np.testing.assert_array_equal(np.asarray(sk), keys[order])
 
 
+def test_sort_gather_mode_matches_payload_mode(rng, monkeypatch):
+    """SORT_MODE="gather" (2-op sort + per-field permutation gathers) must be
+    bit-identical to the payload sort in both directions of the custom vjp."""
+    import jax
+
+    n = 37_113
+    keys = rng.integers(0, 2040, n).astype(np.int32)
+    fields = tuple(rng.random(n).astype(np.float32) for _ in range(3))
+
+    def run(fields):
+        def loss(fields):
+            sk, si, sf = rk.sort_with_payload(jnp.asarray(keys), fields)
+            return sum(jnp.sum(jnp.cos(f) * jnp.arange(n)) for f in sf), (sk, si, sf)
+
+        (l, out), grads = jax.value_and_grad(loss, has_aux=True)(
+            tuple(jnp.asarray(f) for f in fields))
+        return l, out, grads
+
+    monkeypatch.setattr(rk, "SORT_MODE", "payload")
+    l0, out0, g0 = run(fields)
+    monkeypatch.setattr(rk, "SORT_MODE", "gather")
+    l1, out1, g1 = run(fields)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree.leaves((out0, g0)), jax.tree.leaves((out1, g1))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lexicographic_tile_depth(rng):
     n = 50_000
     tile = rng.integers(0, 256, n).astype(np.int32)
