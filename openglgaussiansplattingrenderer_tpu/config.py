@@ -37,6 +37,12 @@ class RenderConfig:
     # records and report the overflow count as a metric instead of a host sync.
     dup_capacity_factor: float = 2.0
 
+    # Exact record capacity, overriding dup_capacity_factor when set.
+    # Capacity bounds the record sort + expand cost (first-order perf knob),
+    # so production callers measure the scene's real record count and pin
+    # capacity to it -- see ``render.autotune_capacity``.
+    capacity_records: int | None = None
+
     # EWA projection constants (shaders/preprocess.glsl).
     dilation: float = 0.3
     radius_sigma: float = 3.0
@@ -133,7 +139,10 @@ class RenderConfig:
 
     def capacity(self, num_splats: int) -> int:
         """Static record capacity for a scene with ``num_splats`` splats."""
-        cap = int(self.dup_capacity_factor * num_splats)
+        if self.capacity_records is not None:
+            cap = int(self.capacity_records)
+        else:
+            cap = int(self.dup_capacity_factor * num_splats)
         # Round up to a multiple of the chunk size so Pallas DMA slices are
         # uniform; padding records carry a sentinel tile id.
         c = max(cap, self.chunk)

@@ -271,3 +271,74 @@ def make_synthetic_scene(num_splats: int, seed: int = 0,
         "colors": colors,
         "sh_rest": np.zeros((num_splats, 45), dtype=np.float32),
     }
+
+
+def make_clustered_scene(num_splats: int, seed: int = 0,
+                         extent: float = 3.0, color_scale: float = 255.0,
+                         num_clusters: int = 64,
+                         cluster_sigma_range: Tuple[float, float] = (0.02, 0.6),
+                         log_scale_mu: float = -4.8,
+                         log_scale_sigma: float = 0.7,
+                         background_frac: float = 0.15,
+                         ) -> Dict[str, np.ndarray]:
+    """Heavy-tailed clustered scene generator -- real-capture statistics.
+
+    ``make_synthetic_scene``'s uniform-random cloud produces near-uniform
+    tile occupancy; real SfM captures (e.g. the reference's bike-big.ply,
+    ``/root/reference/tests/plyParseTests.cpp:69``) are heavily skewed:
+    splats clump on surfaces and textured regions, tile bin counts are
+    long-tailed, and saturation/early-exit behaviour differs from the
+    uniform case. This generator models that with a Gaussian-mixture
+    layout:
+
+    - ``num_clusters`` cluster centers, uniform in the box; per-cluster
+      population follows a Zipf-like power law (a few clusters dominate,
+      like dominant foreground surfaces);
+    - per-cluster isotropic sigma log-uniform in ``cluster_sigma_range``
+      (tight detail clumps through broad structure);
+    - splat log-scales are normal (``log_scale_mu``, ``log_scale_sigma``)
+      -- a lognormal size distribution, matching the long right tail
+      real captures show -- and correlated with their cluster's sigma
+      (big structures carry big splats);
+    - ``background_frac`` of splats are a uniform dust cloud.
+    """
+    rng = np.random.default_rng(seed)
+    n_bg = int(num_splats * background_frac)
+    n_cl = num_splats - n_bg
+
+    centers = rng.uniform(-extent, extent, size=(num_clusters, 3))
+    csig = np.exp(rng.uniform(np.log(cluster_sigma_range[0]),
+                              np.log(cluster_sigma_range[1]),
+                              size=num_clusters))
+    # Zipf-ish cluster populations: weight_k ~ 1 / rank
+    w = 1.0 / np.arange(1, num_clusters + 1)
+    w /= w.sum()
+    assign = rng.choice(num_clusters, size=n_cl, p=w)
+    means_cl = centers[assign] + rng.normal(size=(n_cl, 3)) * csig[assign][:, None]
+    means_bg = rng.uniform(-extent, extent, size=(n_bg, 3))
+    means = np.concatenate([means_cl, means_bg]).astype(np.float32)
+
+    quats = rng.normal(size=(num_splats, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+
+    # splat size rides the parent structure scale (background uses the mean)
+    sig_of = np.concatenate([csig[assign], np.full(n_bg, csig.mean())])
+    log_s = (log_scale_mu + 0.5 * np.log(sig_of / csig.mean())
+             + rng.normal(0.0, log_scale_sigma, size=num_splats))
+    # anisotropy: per-axis jitter around the splat's base scale
+    scales = np.exp(log_s[:, None]
+                    + rng.normal(0.0, 0.4, size=(num_splats, 3))
+                    ).astype(np.float32)
+
+    opacities = (1.0 / (1.0 + np.exp(-rng.normal(0.0, 1.5, size=num_splats)))
+                 ).astype(np.float32)
+    f_dc = rng.uniform(-1.0, 1.0, size=(num_splats, 3)).astype(np.float32)
+    colors = ((0.5 + SH_C0 * f_dc) * color_scale).astype(np.float32)
+    return {
+        "means": means,
+        "quats": quats,
+        "scales": scales.astype(np.float32),
+        "opacities": opacities,
+        "colors": colors,
+        "sh_rest": np.zeros((num_splats, 45), dtype=np.float32),
+    }

@@ -130,6 +130,12 @@ def _f0(x):
 #   244 ms (~100x off HBM bandwidth) -- TPU gather is scalar-bound, so
 #   "payload" stays the default and "gather" is a measured dead end kept
 #   for the record.
+#
+# NOTE: this flag binds at TRACE time -- jit-compiled callers cache the mode
+# they were traced under and ignore later flips, and custom_vjp forward /
+# backward must trace under the same mode. That is safe (the two modes are
+# proven bit-identical by tests/test_sort_library.py), but flip it only at
+# module import, before any pipeline function is traced.
 SORT_MODE = "payload"
 
 

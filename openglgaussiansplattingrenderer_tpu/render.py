@@ -227,6 +227,65 @@ def render_depth(
     return depth, alpha, stats
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def count_records(params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+                  width, height, cfg):
+    """Exact record count this scene/camera would allocate (N-sized, cheap).
+
+    Runs only the elementwise preprocess (EWA + cull + tile-rect counts) and
+    sums the per-splat duplicate counts -- no sort, no expand, no composite.
+    """
+    cov6 = params.get("cov6")
+    if cov6 is None:
+        cov6 = build_covariance(params["scales"], params["quats"])
+    prep = projection.preprocess(
+        params["means"], cov6, params["opacities"], view, vp,
+        width, height, focal_x, focal_y, tan_fovx, tan_fovy, cfg)
+    # int32 sum: record counts are bounded by the 2^24 exact-f32 index range
+    # the fast path asserts, far below int32 overflow
+    return jnp.sum(prep["counts"].astype(jnp.int32))
+
+
+def quantize_capacity(records: int, margin: float = 1.1,
+                      steps_per_octave: int = 8) -> int:
+    """Round ``records * margin`` up to a log-quantized capacity bucket.
+
+    Quantizing (~9% steps at the default) bounds the number of distinct
+    compiled programs a moving camera can trigger while keeping the sort
+    length within ``margin * (1 + 1/steps)`` of the true record count.
+    """
+    cap = max(int(records * margin), 1024)
+    # step = 2^floor(log2(cap)) / steps_per_octave, floored at 128
+    log_steps = steps_per_octave.bit_length() - 1
+    step = max(1 << max(cap.bit_length() - 1 - log_steps, 0), 128)
+    return -(-cap // step) * step
+
+
+def autotune_capacity(params, view, vp, focal_x, focal_y, tan_fovx, tan_fovy,
+                      width: int, height: int, cfg: RenderConfig,
+                      margin: float = 1.1) -> RenderConfig:
+    """Config with ``capacity_records`` pinned to the measured record count.
+
+    Capacity is the length of the record sort and the expand -- the
+    first-order cost knob of the fast path (ARCHITECTURE.md). The reference
+    learns its true duplicate count with a per-frame atomic-counter readback
+    (``src/Splats.cpp:579-583``); here the count costs one cheap N-sized
+    program + one host scalar fetch at TUNING time only -- rendering stays
+    sync-free, and the quantized bucket absorbs camera motion (re-tune on
+    large viewpoint changes; overflow stats report when the margin is
+    breached -- overflowing records drop farthest-first, exactly the
+    reference's clamp behaviour at its 2x capacity, Splats.cpp:582).
+    """
+    import dataclasses
+
+    total = int(count_records(params, jnp.asarray(view), jnp.asarray(vp),
+                              jnp.float32(focal_x), jnp.float32(focal_y),
+                              jnp.float32(tan_fovx), jnp.float32(tan_fovy),
+                              width, height, cfg))
+    return dataclasses.replace(
+        cfg, capacity_records=quantize_capacity(total, margin))
+
+
 def render_loss(params, target, view, vp, focal_x, focal_y, tan_fovx,
                 tan_fovy, width: int, height: int, cfg: RenderConfig):
     """L2 image loss -- convenience for gradient tests and fitting."""

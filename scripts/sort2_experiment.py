@@ -42,6 +42,11 @@ def main():
                    for _ in range(NUM_FIELDS))
 
     def fence(x):
+        # block on ALL output buffers (not just one element of one leaf),
+        # then fetch a scalar: on this tunnel backend block_until_ready has
+        # been observed returning before queued work executes, so the host
+        # fetch is the reliable fence -- belt and braces.
+        jax.block_until_ready(x)
         leaf = jax.tree.leaves(x)[0]
         return float(leaf[0])
 

@@ -11,6 +11,7 @@ Run on the TPU (serialize with other python processes on this box):
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -39,8 +40,6 @@ VARIANTS = [
 BWD_VARIANTS = [("direct", None, 1), ("direct", 8, 1),
                 ("sep", None, 1), ("sep", 8, 1),
                 ("direct", 8, 4), ("sep", 8, 4)]
-
-import os
 
 if os.environ.get("SWEEP_FAST"):
     VARIANTS = [("direct", None, 128, 1, True), ("direct", 8, 128, 1, True),

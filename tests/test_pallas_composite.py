@@ -109,6 +109,7 @@ def test_pallas_backward_saturated_scene():
             err_msg=f"gradient mismatch for {k}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("form,fwd_rows,bwd_rows,subc,gate", [
     ("sos", 8, 8, 1, True),
     ("direct", 8, None, 1, True),

@@ -9,6 +9,7 @@ the renderer uses.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from openglgaussiansplattingrenderer_tpu.ops import sorting
 from openglgaussiansplattingrenderer_tpu.ops.pallas import records as rk
@@ -16,6 +17,7 @@ from openglgaussiansplattingrenderer_tpu.ops.pallas import records as rk
 N_REFERENCE = 32 * 16 * 10000 - 7  # sortTests.cpp:181
 
 
+@pytest.mark.slow
 def test_sort_five_million_exact(rng):
     # keys in [0.5, 256.5) like the reference generator (utils.cpp:49-63)
     keys = (rng.random(N_REFERENCE, dtype=np.float32) * 256.0 + 0.5).astype(np.float32)
