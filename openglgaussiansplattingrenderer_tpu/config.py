@@ -82,6 +82,19 @@ class RenderConfig:
     # Use the fused Pallas tile-compositing kernel when available.
     use_pallas: bool = True
 
+    # Fast-path sort strategy. True (round-2 design): sort splats by depth
+    # first (N-sized, 13 payloads), then a single-key stable tile sort of
+    # the records gives (tile, depth) order, and overflow drops farthest
+    # records first. False: skip the N-sized depth sort entirely and sort
+    # records once by the lexicographic (tile, depth) pair -- one extra key
+    # operand on the C-sized sort buys deleting the whole N-sized sort
+    # (the win grows with N/C; at bike-big scale the depth sort is ~25 ms).
+    # Overflow then drops in splat order rather than depth order -- prefer
+    # autotuned capacity (render.autotune_capacity) where that matters.
+    # The two modes are image-identical under zero overflow: stable sorts
+    # resolve exact (tile, depth) ties to original splat order either way.
+    hoist_depth_sort: bool = True
+
     # Spherical-harmonic colour degree (0-3). 0 = the reference's
     # view-independent DC colour (it parses but discards the 45 f_rest
     # coefficients, Splats.cpp:301-302); 1-3 evaluate the full basis when

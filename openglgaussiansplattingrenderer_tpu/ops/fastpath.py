@@ -135,7 +135,11 @@ def expand_depth_records(
         raise ValueError("record capacity exceeds exact-f32 index range")
 
     # ---- 1. sort splats by depth (culled to the end) ---------------------
-    key = jnp.where(prep["valid"], prep["depth"], jnp.float32(jnp.inf))
+    # With cfg.hoist_depth_sort=False this N-sized sort is skipped entirely:
+    # records carry their depth (table row 14) and the C-sized tile sort in
+    # ``render_fast`` becomes lexicographic (tile, depth) instead.
+    hoist = cfg.hoist_depth_sort
+    with_depth = with_depth or not hoist
     fields = (
         prep["mean2d"][:, 0], prep["mean2d"][:, 1],
         prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
@@ -145,7 +149,12 @@ def expand_depth_records(
         prep["tile_ext"][:, 0].astype(jnp.float32),
         prep["counts"].astype(jnp.float32),
     )
-    sk, _, sf = rk.sort_with_payload(key, fields)
+    if hoist:
+        key = jnp.where(prep["valid"], prep["depth"], jnp.float32(jnp.inf))
+        sk, _, sf = rk.sort_with_payload(key, fields)
+    else:
+        sk = jnp.where(prep["valid"], prep["depth"], jnp.float32(0.0))
+        sf = fields
     counts_s = sf[12].astype(jnp.int32)
     if stop_after == "sort1":
         return "stop", sf[0], {"fields": sf}
@@ -227,10 +236,18 @@ def render_fast(
     capacity = rec_sm.shape[1]
     t = cfg.num_tiles
 
-    # ---- 4. stable sort records by tile: (tile, depth) order -------------
+    # ---- 4. sort records into (tile, depth) order -------------------------
     tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
     rec_fields = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS))
-    sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+    if cfg.hoist_depth_sort:
+        # records arrive depth-ordered (stage 1), so a stable single-key
+        # tile sort suffices
+        sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+    else:
+        # no stage-1 depth sort: lexicographic (tile, record depth) pair
+        depth_row = rec_sm[rk.NUM_FIELDS + 1, :]
+        (sk2, _), _, sf2 = rk.sort_multi_with_payload(
+            (tile_key, depth_row), rec_fields)
 
     bounds = jnp.searchsorted(
         sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)

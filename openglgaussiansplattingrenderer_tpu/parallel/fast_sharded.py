@@ -10,12 +10,14 @@ design SURVEY.md section 5 prescribes (long-context row):
   that carry (9 fields, tile id, view depth).
 - **ragged all-to-all by tile owner**: tiles are owned round-robin
   (``owner(t) = t % D`` -- balances dense screen regions across chips). Each
-  chip stable-sorts its records by destination chip (preserving depth order
-  within each destination), packs them into fixed-capacity per-destination
-  buckets, and exchanges one ``lax.all_to_all`` over ICI. Bucket capacity is
-  static (``exch_factor`` x the mean); overflowing records are dropped
-  farthest-first per destination (the same depth-ordered overflow policy as
-  the single-device fast path) and counted in ``stats["overflow"]``.
+  chip packs its records into fixed-capacity per-destination buckets with
+  ONE row-keyed ``lax.sort`` against padding rows (rank-within-destination
+  via Pallas mask cumsums; depth order preserved -- no XLA gather anywhere,
+  see the packing comment in ``_fast_shard_fn``), then exchanges one
+  ``lax.all_to_all`` over ICI. Bucket capacity is static (``exch_factor`` x
+  the mean); overflowing records are dropped farthest-first per destination
+  (the same depth-ordered overflow policy as the single-device fast path)
+  and counted in ``stats["overflow"]``.
 - **owner-side merge + Pallas composite**: the receiving chip merges the D
   depth-ordered streams with one (tile, depth) lexicographic payload sort of
   its O(C/D) records, then runs the *same* Pallas align + fused-composite
@@ -29,17 +31,10 @@ design SURVEY.md section 5 prescribes (long-context row):
   chips receives the exact sum of its contributions (SURVEY.md hard part #5).
 
 Per-chip sort/composite work is O(C/D) (records ride at most two local sorts
-of ~2C/D rows), vs O(C) for the round-1 all-gather design.
-
-KNOWN-UNMEASURED RISK (single-chip hardware here; the exchange has only run
-on virtual CPU meshes): the bucket packing below is an XLA gather of
-(ndev*cap_exch) rows x 11 fields -- the op class round 1 measured as
-pathological at record scale on TPU (ARCHITECTURE.md: (C, 16) row gather =
-6.8 s at 8M). ``src`` is piecewise-contiguous ascending (records arrive
-dest-sorted), so if real multi-chip profiling confirms the gather is hot,
-the fix is the same one the expand kernel uses: a Pallas one-hot MXU
-segment gather over 128-blocks (or sort-based packing: key each record by
-its bucket row and lax.sort against ``rows`` dummy rows).
+of ~(1+exch_factor)·C/D rows), vs O(C) for the round-1 all-gather design.
+No operation on the exchange path belongs to the op classes round 1 measured
+as pathological on TPU (row gathers, searchsorted at record scale): packing
+and the owner-side merge are payload sorts, ranks are Pallas cumsums.
 
 The reference is strictly single-GPU (SURVEY.md section 2.4); this layer is
 the capability the north star adds on top.
@@ -95,7 +90,19 @@ def _fast_shard_fn(params_local, view, vp, focal_x, focal_y, tan_fovx,
         width, height, cfg, with_depth=True)
     cap_local = rec_sm.shape[1]
 
-    # ---- destination bucketing ------------------------------------------
+    # ---- destination bucketing -------------------------------------------
+    # Goal: packed[e*cap_exch + j] = the j-th local record destined to chip e
+    # (depth order preserved), zero/sentinel rows past each bucket's count.
+    # Round 1 measured XLA row gathers as pathological at record scale
+    # (ARCHITECTURE.md: (C, 16) gather = 6.8 s at 8M rows), so packing is a
+    # SORT, the proven-fast primitive: key every record by its bucket row,
+    # key ``rows`` padding records by the complementary rows, one
+    # ``lax.sort`` of (cap_local + rows) elements lays the buckets out
+    # exactly. Rank-within-destination comes from ``ndev`` Pallas mask
+    # cumsums on the UNSORTED records (ndev cheap bandwidth passes), which
+    # also deletes the old per-destination payload pre-sort.
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import scan as pscan
+
     tile = rec_sm[rk.NUM_FIELDS, :]                     # float row; exact
     tile_i = tile.astype(jnp.int32)
     # invalid records carry tile == num_tiles; num_tiles % ndev would alias
@@ -103,21 +110,38 @@ def _fast_shard_fn(params_local, view, vp, focal_x, focal_y, tan_fovx,
     dest = jnp.where(tile_i < num_tiles, tile_i % ndev, ndev)
     fields11 = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS)) + (
         tile, rec_sm[rk.NUM_FIELDS + 1, :])             # + tile, depth
-    dk, _, sfl = rk.sort_with_payload(dest, fields11)   # stable: depth order
-    bnd_d = jnp.searchsorted(dk, jnp.arange(ndev + 1, dtype=jnp.int32),
-                             side="left").astype(jnp.int32)
-    cnt_d = bnd_d[1:] - bnd_d[:-1]                      # (ndev,) per-dest
+
+    off = jnp.zeros(cap_local, jnp.int32)               # rank within dest
+    cnt_l = []
+    for e_dst in range(ndev):
+        m = (dest == e_dst).astype(jnp.int32)
+        c = pscan.cumsum(m)
+        off = jnp.where(m == 1, c - 1, off)
+        cnt_l.append(c[-1])
+    cnt_d = jnp.stack(cnt_l)                            # (ndev,) per-dest
 
     rows = ndev * cap_exch
-    e = jnp.arange(rows, dtype=jnp.int32) // cap_exch   # dest of bucket row
-    j = jnp.arange(rows, dtype=jnp.int32) % cap_exch    # slot within bucket
-    src = jnp.minimum(bnd_d[e] + j, cap_local - 1)
-    bvalid = j < cnt_d[e]
-    packed = jnp.stack([f[src] for f in sfl], axis=1)   # (rows, 11)
-    packed = jnp.where(bvalid[:, None], packed, 0.0)
-    # bucket padding rows get the sentinel tile so owners sort them last
-    packed = packed.at[:, rk.NUM_FIELDS].set(
-        jnp.where(bvalid, packed[:, rk.NUM_FIELDS], jnp.float32(num_tiles)))
+    i_rec = jnp.arange(cap_local, dtype=jnp.int32)
+    in_cap = (dest < ndev) & (off < cap_exch)           # overflow drops
+    # every key in [0, rows) occurs exactly once across records + padding;
+    # dropped/invalid records and excess padding get unique sentinels > rows
+    rkey = jnp.where(in_cap, dest * cap_exch + off, rows + i_rec)
+    p = jnp.arange(rows, dtype=jnp.int32)
+    pj = p % cap_exch
+    fill = (jnp.broadcast_to(jnp.minimum(cnt_d, cap_exch)[:, None],
+                             (ndev, cap_exch)).reshape(rows) + pj)
+    pkey = jnp.where(fill < cap_exch,
+                     (p // cap_exch) * cap_exch + fill,
+                     rows + cap_local + p)
+    # padding rows: zero fields, sentinel tile so owners sort them last
+    pad0 = jnp.zeros(rows, jnp.float32)
+    pad_fields = (pad0,) * rk.NUM_FIELDS + (
+        jnp.full(rows, jnp.float32(num_tiles)), pad0)
+    comb_key = jnp.concatenate([rkey, pkey])
+    comb_fields = tuple(jnp.concatenate([f, pf])
+                        for f, pf in zip(fields11, pad_fields))
+    _, _, sf_pack = rk.sort_with_payload(comb_key, comb_fields)
+    packed = jnp.stack([f[0:rows] for f in sf_pack], axis=1)  # (rows, 11)
 
     # ---- the exchange (ICI all-to-all; transpose = reverse all-to-all) ---
     recv = jax.lax.all_to_all(packed, axis, split_axis=0, concat_axis=0,
@@ -204,16 +228,45 @@ def train_step_fast_sharded(raw, opt_state, target, view, vp, focal_x,
     optimisation happens in raw (pre-activation) space so updates cannot push
     activations out of range; ``raw`` is a ``trainer.raw_from_params`` pytree
     sharded over the mesh.
+
+    Returns ``(raw, opt_state, loss, stats)``. ``stats["overflow"]`` counts
+    records this step dropped (local capacity + exchange buckets combined);
+    a nonzero value means the loss was computed on an incomplete render --
+    check it (or pass it to ``warn_on_sharded_overflow``), and raise
+    ``exch_factor`` (``= ndev`` guarantees zero exchange drops) or the
+    capacity when it fires.
     """
     from openglgaussiansplattingrenderer_tpu.train.trainer import params_from_raw
 
     def loss_fn(raw):
-        img, _ = render_fast_sharded(
+        img, stats = render_fast_sharded(
             params_from_raw(raw), view, vp, focal_x, focal_y, tan_fovx,
             tan_fovy, width, height, cfg, mesh, axis, exch_factor)
-        return jnp.mean((img[..., :3] - target) ** 2)
+        return jnp.mean((img[..., :3] - target) ** 2), stats
 
-    loss, grads = jax.value_and_grad(loss_fn)(raw)
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(raw)
     updates, opt_state = optimizer.update(grads, opt_state, raw)
     raw = jax.tree.map(lambda a, u: a + u, raw, updates)
-    return raw, opt_state, loss
+    return raw, opt_state, loss, stats
+
+
+def warn_on_sharded_overflow(stats, exch_factor: float, ndev: int) -> int:
+    """Warn when a sharded step dropped records (cf. ``Splats._warn_on_overflow``).
+
+    The single-device facade warns on overflow (``splats.py``); sharded
+    training must too -- with the default ``exch_factor < ndev`` a skewed
+    scene can overflow an exchange bucket and silently train on an
+    incomplete render. Call once per logging interval with the step's
+    ``stats``; returns the overflow count.
+    """
+    ov = int(stats.get("overflow", 0))
+    if ov > 0:
+        import warnings
+
+        warnings.warn(
+            f"sharded step dropped {ov} records (exchange buckets or local "
+            f"capacity; exch_factor={exch_factor}): the render is missing "
+            f"the farthest duplicates -- raise exch_factor (= {ndev} "
+            "guarantees zero exchange drops) or the record capacity",
+            RuntimeWarning, stacklevel=2)
+    return ov

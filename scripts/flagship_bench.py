@@ -38,6 +38,7 @@ REPEATS = 3
 TILE_PX = int(os.environ.get("FLAGSHIP_TILE_PX", "32"))
 CHUNK = int(os.environ.get("FLAGSHIP_CHUNK", "128"))
 WITH_BWD = bool(int(os.environ.get("FLAGSHIP_BWD", "0")))
+HOIST = bool(int(os.environ.get("FLAGSHIP_HOIST", "1")))
 
 
 def log(*a):
@@ -76,7 +77,8 @@ def main():
     cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"],
              args["tan_fovy"])
     base = RenderConfig.for_resolution(WIDTH, HEIGHT, tile_px=TILE_PX,
-                                       use_pallas=True, chunk=CHUNK)
+                                       use_pallas=True, chunk=CHUNK,
+                                       hoist_depth_sort=HOIST)
     log(f"grid {base.grid_x}x{base.grid_y} ({base.num_tiles} tiles)")
 
     def fence(x):

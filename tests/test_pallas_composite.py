@@ -187,3 +187,30 @@ def test_sep_power_form_bit_identical_to_sos(monkeypatch):
     for k in outs["sos"][2]:
         np.testing.assert_array_equal(outs["sep"][2][k], outs["sos"][2][k],
                                       err_msg=k)
+
+
+def test_no_hoist_depth_sort_matches_hoisted():
+    """cfg.hoist_depth_sort=False (single lexicographic (tile, depth) record
+    sort, no N-sized depth pre-sort) must reproduce the round-2 two-sort
+    design exactly -- image AND gradients -- under zero overflow. Exactness
+    holds because stable sorts resolve (tile, depth) ties to original splat
+    order in both designs."""
+    w = h = 96
+    scene = ply_io.make_clustered_scene(500, seed=21, extent=2.0)
+    cam = Camera(0.0, 0.0, -6.0, width=w, height=h)
+    target = np.zeros((h, w, 3), np.float32)
+
+    cfg_h = dataclasses.replace(BASE, use_pallas=True, hoist_depth_sort=True)
+    cfg_n = dataclasses.replace(BASE, use_pallas=True, hoist_depth_sort=False)
+    img_h, stats_h = _run(scene, cam, cfg_h, w, h)
+    img_n, stats_n = _run(scene, cam, cfg_n, w, h)
+    assert int(stats_h["overflow"]) == 0
+    assert int(stats_n["num_records"]) == int(stats_h["num_records"])
+    np.testing.assert_array_equal(img_n, img_h)
+
+    loss_h, g_h = _run(scene, cam, cfg_h, w, h, grad=True, target=target)
+    loss_n, g_n = _run(scene, cam, cfg_n, w, h, grad=True, target=target)
+    assert np.isclose(loss_n, loss_h, rtol=1e-6)
+    for k in g_h:
+        np.testing.assert_allclose(g_n[k], g_h[k], rtol=1e-6, atol=1e-9,
+                                   err_msg=f"gradient mismatch for {k}")
