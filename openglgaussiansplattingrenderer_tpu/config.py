@@ -82,18 +82,18 @@ class RenderConfig:
     # Use the fused Pallas tile-compositing kernel when available.
     use_pallas: bool = True
 
-    # Fast-path sort strategy. True (round-2 design): sort splats by depth
-    # first (N-sized, 13 payloads), then a single-key stable tile sort of
-    # the records gives (tile, depth) order, and overflow drops farthest
-    # records first. False: skip the N-sized depth sort entirely and sort
-    # records once by the lexicographic (tile, depth) pair -- one extra key
-    # operand on the C-sized sort buys deleting the whole N-sized sort
-    # (the win grows with N/C; at bike-big scale the depth sort is ~25 ms).
-    # Overflow then drops in splat order rather than depth order -- prefer
-    # autotuned capacity (render.autotune_capacity) where that matters.
+    # Fast-path sort strategy. False (default, round 3): no N-sized depth
+    # pre-sort; records carry their depth and the C-sized record sort is
+    # lexicographic (tile, depth) -- one extra key operand buys deleting a
+    # whole N-sized 13-payload sort (measured at the flagship point,
+    # 3.6M splats / 1024x512: fwd 162.5 -> 127.5 ms). True restores the
+    # round-2 two-sort design: depth-sort splats first, then a stable
+    # single-key tile sort; overflow then drops farthest records first
+    # instead of in splat order -- prefer autotuned capacity
+    # (render.autotune_capacity) where overflow ordering matters.
     # The two modes are image-identical under zero overflow: stable sorts
     # resolve exact (tile, depth) ties to original splat order either way.
-    hoist_depth_sort: bool = True
+    hoist_depth_sort: bool = False
 
     # Spherical-harmonic colour degree (0-3). 0 = the reference's
     # view-independent DC colour (it parses but discards the 45 f_rest

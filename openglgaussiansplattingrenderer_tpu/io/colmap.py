@@ -188,29 +188,133 @@ def read_points3d_txt(path: str):
             np.asarray(err, np.float64))
 
 
+# --- undistortion ------------------------------------------------------------
+#
+# Nearly every raw COLMAP reconstruction uses a distorted model
+# (SIMPLE_RADIAL by default); the renderer's EWA projection is pinhole.
+# ``load_colmap(undistort=True)`` resamples each capture image onto an ideal
+# pinhole camera (same focal, centered principal point) -- the same job as
+# COLMAP's ``image_undistorter`` -- so training runs directly off a raw
+# workspace. Distortion conventions follow COLMAP's camera model docs
+# (src/base/camera_models.h): normalized coords, radial polynomial in r^2,
+# OpenCV tangential terms.
+
+_DISTORTED_MODELS = ("SIMPLE_RADIAL", "RADIAL", "OPENCV", "FULL_OPENCV")
+
+
+def _split_intrinsics(cam: Dict):
+    """-> (fx, fy, cx, cy, dist tuple) for the supported models."""
+    p = cam["params"]
+    model = cam["model"]
+    if model == "SIMPLE_PINHOLE":
+        return p[0], p[0], p[1], p[2], ()
+    if model == "PINHOLE":
+        return p[0], p[1], p[2], p[3], ()
+    if model in ("SIMPLE_RADIAL", "RADIAL"):
+        return p[0], p[0], p[1], p[2], tuple(p[3:])
+    if model in ("OPENCV", "FULL_OPENCV"):
+        return p[0], p[1], p[2], p[3], tuple(p[4:])
+    raise ValueError(f"unsupported COLMAP camera model {model!r}; "
+                     "run COLMAP image_undistorter to get PINHOLE")
+
+
+def distort_normalized(x: np.ndarray, y: np.ndarray, model: str,
+                       dist: Tuple[float, ...]):
+    """Apply the model's distortion to normalized camera coords (forward)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    r2 = x * x + y * y
+    if model == "SIMPLE_RADIAL":
+        (k,) = dist
+        f = 1.0 + k * r2
+        return x * f, y * f
+    if model == "RADIAL":
+        k1, k2 = dist
+        f = 1.0 + r2 * (k1 + k2 * r2)
+        return x * f, y * f
+    if model in ("OPENCV", "FULL_OPENCV"):
+        k1, k2, p1, p2 = dist[:4]
+        extra = dist[4:]  # FULL_OPENCV: k3..k6
+        f = 1.0 + r2 * (k1 + k2 * r2)
+        if extra:
+            k3, k4, k5, k6 = extra
+            f = (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))) / \
+                (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6)))
+        xd = x * f + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * f + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return xd, yd
+    raise ValueError(f"no distortion for model {model!r}")
+
+
+def undistort_normalized(xd: np.ndarray, yd: np.ndarray, model: str,
+                         dist: Tuple[float, ...], iters: int = 20):
+    """Invert the distortion (fixed-point iteration, as COLMAP's
+    ``IterativeUndistortion``): find (x, y) with distort(x, y) == (xd, yd).
+
+    Needed when mapping distorted observations (2D feature points) back to
+    rays; image undistortion itself only needs the forward map."""
+    x = np.asarray(xd, np.float64).copy()
+    y = np.asarray(yd, np.float64).copy()
+    for _ in range(iters):
+        dx, dy = distort_normalized(x, y, model, dist)
+        x += np.asarray(xd) - dx
+        y += np.asarray(yd) - dy
+    return x, y
+
+
+def _bilinear_sample(img: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Sample (H, W, C) at float pixel coords (u=x, v=y); border-clamped."""
+    h, w = img.shape[:2]
+    u = np.clip(u, 0.0, w - 1.0)
+    v = np.clip(v, 0.0, h - 1.0)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    u1 = np.minimum(u0 + 1, w - 1)
+    v1 = np.minimum(v0 + 1, h - 1)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    return ((img[v0, u0] * (1 - fu) + img[v0, u1] * fu) * (1 - fv)
+            + (img[v1, u0] * (1 - fu) + img[v1, u1] * fu) * fv)
+
+
+def undistort_image(img: np.ndarray, cam: Dict) -> np.ndarray:
+    """Resample a distorted capture onto the ideal pinhole camera
+    ``undistorted_camera(cam)`` (same focal, centered principal point).
+
+    For every output pixel: pinhole ray -> forward distortion -> source
+    pixel in the capture -> bilinear sample. No iteration is needed in this
+    direction. Output dtype float32, same (H, W, C)."""
+    fx, fy, cx, cy, dist = _split_intrinsics(cam)
+    h, w = img.shape[:2]
+    cx_o, cy_o = w / 2.0, h / 2.0
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    xn = (u - cx_o) / fx
+    yn = (v - cy_o) / fy
+    xd, yd = distort_normalized(xn, yn, cam["model"], dist)
+    return _bilinear_sample(np.asarray(img, np.float32),
+                            xd * fx + cx, yd * fy + cy).astype(np.float32)
+
+
+def undistorted_camera(cam: Dict) -> Dict:
+    """The ideal PINHOLE camera ``undistort_image`` resamples onto."""
+    fx, fy, _, _, _ = _split_intrinsics(cam)
+    return {"model": "PINHOLE", "width": cam["width"],
+            "height": cam["height"],
+            "params": np.array([fx, fy, cam["width"] / 2.0,
+                                cam["height"] / 2.0])}
+
+
 # --- model -> renderer ------------------------------------------------------
 
 def _intrinsics(cam: Dict) -> Tuple[float, float]:
     """(fl_x, fl_y) in pixels; warns on off-center principal point or
-    nonzero distortion (undistort with COLMAP first)."""
-    p = cam["params"]
-    model = cam["model"]
-    if model == "SIMPLE_PINHOLE":
-        fx = fy = p[0]
-        cx, cy, dist = p[1], p[2], ()
-    elif model == "PINHOLE":
-        fx, fy, cx, cy, dist = p[0], p[1], p[2], p[3], ()
-    elif model in ("SIMPLE_RADIAL", "RADIAL"):
-        fx = fy = p[0]
-        cx, cy, dist = p[1], p[2], p[3:]
-    elif model in ("OPENCV", "FULL_OPENCV"):
-        fx, fy, cx, cy, dist = p[0], p[1], p[2], p[3], p[4:]
-    else:
-        raise ValueError(f"unsupported COLMAP camera model {model!r}; "
-                         "run COLMAP image_undistorter to get PINHOLE")
+    nonzero distortion (load through ``load_colmap(undistort=True)`` or
+    COLMAP's image_undistorter instead of hitting these warnings)."""
+    fx, fy, cx, cy, dist = _split_intrinsics(cam)
     if any(abs(d) > 1e-8 for d in np.atleast_1d(dist)):
         warnings.warn(
-            f"COLMAP model {model} has nonzero distortion {dist}; the "
+            f"COLMAP model {cam['model']} has nonzero distortion {dist}; the "
             "renderer is distortion-free -- undistort the capture first "
             "(COLMAP image_undistorter). Proceeding as pinhole.",
             RuntimeWarning, stacklevel=3)
@@ -237,10 +341,21 @@ def bundle_from_colmap_pose(qvec, tvec, cam: Dict) -> Dict[str, np.ndarray]:
                            fl_x=fl_x, fl_y=fl_y)
 
 
+def _needs_undistort(cam: Dict) -> bool:
+    try:
+        _, _, cx, cy, dist = _split_intrinsics(cam)
+    except ValueError:
+        return False  # fisheye etc. -- _intrinsics will raise loudly
+    return (any(abs(d) > 1e-10 for d in dist)
+            or abs(cx - cam["width"] / 2.0) > 0.5
+            or abs(cy - cam["height"] / 2.0) > 0.5)
+
+
 def load_colmap(
     sparse_dir: str,
     images_dir: Optional[str] = None,
     load_images: bool = True,
+    undistort: bool = True,
 ) -> Tuple[List[Dict[str, np.ndarray]], List[Optional[np.ndarray]], Dict]:
     """Load a COLMAP model directory (binary or text, auto-detected).
 
@@ -248,6 +363,13 @@ def load_colmap(
     {"xyz": (N, 3) f32, "rgb": (N, 3) f32 in 0..255, "error": (N,)}.
     ``images_dir`` defaults to ``<sparse_dir>/../../images`` (the standard
     COLMAP workspace layout); missing image files yield None entries.
+
+    With ``undistort`` (default), SIMPLE_RADIAL / RADIAL / OPENCV captures
+    -- i.e. nearly every raw COLMAP reconstruction -- are resampled onto
+    ideal pinhole cameras at load (``undistort_image``; also recenters
+    off-center principal points), so training runs directly off a raw
+    workspace with no COLMAP ``image_undistorter`` step. Images that cannot
+    be loaded fall back to the pinhole-approximation warning path.
     """
     def pick(stem):
         for ext, readers in (
@@ -278,13 +400,16 @@ def load_colmap(
 
     bundles, images = [], []
     for m in metas:
-        bundles.append(bundle_from_colmap_pose(
-            m["qvec"], m["tvec"], cams[m["camera_id"]]))
+        cam = cams[m["camera_id"]]
         img = None
         if load_images and m["name"]:
             p = os.path.join(images_dir, m["name"])
             if os.path.exists(p):
                 img = load_png(p)[..., :3]
+        if undistort and img is not None and _needs_undistort(cam):
+            img = undistort_image(img, cam)
+            cam = undistorted_camera(cam)
+        bundles.append(bundle_from_colmap_pose(m["qvec"], m["tvec"], cam))
         images.append(img)
 
     points = {"xyz": xyz.astype(np.float32),

@@ -13,15 +13,25 @@ Run on the TPU (serialize with other python processes on this box):
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-NUM_SPLATS = 1_000_000
-WIDTH, HEIGHT = 1920, 1080
-ITERS = 20
+# Defaults = the 1M/1080p headline bench; env overrides profile other
+# operating points (e.g. the flagship 3.6M/1024x512: PROF_SPLATS=3616103
+# PROF_W=1024 PROF_H=512 PROF_SCENE=uniform PROF_CAP=6291456).
+NUM_SPLATS = int(os.environ.get("PROF_SPLATS", "1000000"))
+WIDTH = int(os.environ.get("PROF_W", "1920"))
+HEIGHT = int(os.environ.get("PROF_H", "1080"))
+ITERS = int(os.environ.get("PROF_ITERS", "20"))
 REPEATS = 3
+TILE_PX = int(os.environ.get("PROF_TILE_PX", "32"))
+CHUNK = int(os.environ.get("PROF_CHUNK", "256"))
+CAP = os.environ.get("PROF_CAP")  # capacity_records override
+SCENE = os.environ.get("PROF_SCENE", "bench")
+SKIP_BWD = bool(int(os.environ.get("PROF_SKIP_BWD", "0")))
 
 
 def log(*a):
@@ -64,10 +74,17 @@ def main():
     from openglgaussiansplattingrenderer_tpu.render import camera_args
 
     cfg = RenderConfig.for_resolution(
-        WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=256,
-        dup_capacity_factor=3.0)  # tight-rect allocation: 2.50M records at this scene
-    scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
-                                        log_scale_range=(-5.5, -3.2))
+        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=CHUNK,
+        dup_capacity_factor=3.0,  # tight-rect allocation: 2.50M records at the bench scene
+        capacity_records=int(CAP) if CAP else None)
+    if SCENE == "bench":
+        scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
+                                            log_scale_range=(-5.5, -3.2))
+    elif SCENE == "uniform":  # the flagship/scale_test scene
+        scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=99, extent=3.0,
+                                            log_scale_range=(-5.8, -3.6))
+    else:
+        scene = ply_io.make_clustered_scene(NUM_SPLATS, seed=7, extent=3.0)
     cam = Camera(0.0, 0.0, -8.0, width=WIDTH, height=HEIGHT)
     args = camera_args(cam)
     params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
@@ -76,6 +93,8 @@ def main():
     cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"])
 
     stages = ["prep", "sort1", "cumsum", "expand", "sort2", None]
+    if not cfg.hoist_depth_sort:
+        stages.remove("sort1")  # no N-sized depth pre-sort in this mode
     prefix_ms = {}
     for s in stages:
         name = s or "full"
@@ -118,20 +137,23 @@ def main():
     ms_fwd, _ = time_fn(comp_fwd, sf2, bounds)
     log(f"composite fwd (isolated)     = {ms_fwd:8.2f} ms")
 
-    comp_fb = jax.jit(jax.value_and_grad(
-        lambda f, b: jnp.sum(comp(f, b)[:, :, 0:3] ** 2)))
-    ms_fb, _ = time_fn(comp_fb, sf2, bounds)
-    log(f"composite fwd+bwd (isolated) = {ms_fb:8.2f} ms "
-        f"(bwd-only ~ {ms_fb - ms_fwd:.2f} ms)")
+    ms_fb = ms_full_fb = float("nan")
+    if not SKIP_BWD:
+        comp_fb = jax.jit(jax.value_and_grad(
+            lambda f, b: jnp.sum(comp(f, b)[:, :, 0:3] ** 2)))
+        ms_fb, _ = time_fn(comp_fb, sf2, bounds)
+        log(f"composite fwd+bwd (isolated) = {ms_fb:8.2f} ms "
+            f"(bwd-only ~ {ms_fb - ms_fwd:.2f} ms)")
 
-    # --- full fwd+bwd ------------------------------------------------------
-    def loss(p):
-        img, _ = fastpath.render_fast(p, view, vp, *cam_f, WIDTH, HEIGHT, cfg)
-        return jnp.mean(img[..., :3] ** 2)
+        # --- full fwd+bwd --------------------------------------------------
+        def loss(p):
+            img, _ = fastpath.render_fast(p, view, vp, *cam_f, WIDTH, HEIGHT,
+                                          cfg)
+            return jnp.mean(img[..., :3] ** 2)
 
-    fb = jax.jit(jax.value_and_grad(loss))
-    ms_full_fb, _ = time_fn(fb, params)
-    log(f"full fwd+bwd                 = {ms_full_fb:8.2f} ms")
+        fb = jax.jit(jax.value_and_grad(loss))
+        ms_full_fb, _ = time_fn(fb, params)
+        log(f"full fwd+bwd                 = {ms_full_fb:8.2f} ms")
 
     print(json.dumps({
         "prefix_ms": {k: round(v, 2) for k, v in prefix_ms.items()},
