@@ -1,18 +1,17 @@
-"""Headline benchmark: 1M-splat synthetic scene at 1080p, forward+backward.
+"""Headline benchmark. Prints ONE JSON line; details go to stderr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Details go to stderr.
+Round 3 headline (VERDICT r2 next #1): the reference's OWN operating point,
+measured literally -- bike-big.ply's 3,616,103 splats
+(/root/reference/tests/plyParseTests.cpp:69) at the reference's default
+1024x512 (include/Camera.h:55,62), forward-only fps, on the WORSE of two
+scene statistics (uniform cloud and the clustered/heavy-tailed generator
+that models real SfM captures). vs_baseline = fps / 30: 1.0 means this chip
+matches the interactive-30fps bar on the reference's flagship scene.
 
-Metric: million splat-renders per second through the FULL differentiable
-pipeline (preprocess -> duplicate/bin -> sort -> Pallas composite forward +
-analytic backward + parameter gradients) = num_splats * fps(fwd+bwd).
-
-vs_baseline: the reference publishes no numbers (BASELINE.md); the proxy
-baseline is its flagship scene rendered interactively -- bike-big.ply
-(3,616,103 splats, tests/plyParseTests.cpp:69) at 30 fps forward-only
-= 108.5 Msplat/s. vs_baseline = value / 108.5, i.e. 1.0 means this chip
-pushes the reference's flagship scene at 30 fps *including* the backward
-pass the reference doesn't have.
+The JSON line also carries the round-1/2 metric for continuity:
+msplats_fwdbwd_1080p = million splat-renders/s through the FULL
+differentiable pipeline (fwd + analytic bwd + grads) on the 1M/1080p scene
+-- the training-oriented number (north star is fwd+bwd for training).
 """
 
 import functools
@@ -25,7 +24,10 @@ import numpy as np
 
 NUM_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
-BASELINE_MSPLAT_S = 3.616103 * 30.0  # bike-big @ 30fps fwd-only proxy
+FLAG_SPLATS = 3_616_103           # bike-big.ply, plyParseTests.cpp:69
+FLAG_W, FLAG_H = 1024, 512        # reference default res, Camera.h:55,62
+BASELINE_FPS = 30.0               # interactive bar at the flagship point
+BASELINE_MSPLAT_S = 3.616103 * 30.0  # legacy fwd+bwd proxy (round 1/2)
 ITERS = 10
 # sweep override (driver runs with no env): post-cull, 16px tiles carry
 # ~1.4x the records but ~2.1x less SIMD pair work -- re-testable knob
@@ -68,20 +70,20 @@ def main():
     from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
     from openglgaussiansplattingrenderer_tpu.render import camera_args, render_arrays
 
-    # tile/chunk from the hardware sweep (scripts/sweep_configs.py, r2):
-    # 32px tiles + chunk 128 beat 24/16px tiles (record growth dominates)
-    # and chunks 256/512 on both fwd and fwd+bwd. Capacity: the tight-rect
-    # allocation (cfg.tight_rect, r2) puts this scene at 2.50M records
-    # (was 3.43M), so 3x covers it with ~20% headroom -- capacity bounds the
-    # record sort + expand cost, so it is a first-order perf knob; overflow
-    # is asserted zero below.
-    cap_factor = float(os.environ.get(
-        "BENCH_CAP_FACTOR", "3.0" if TILE_PX >= 32 else "4.5"))
-    cfg = RenderConfig.for_resolution(
-        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=128,
-        dup_capacity_factor=cap_factor)
-    log(f"grid {cfg.grid_x}x{cfg.grid_y} ({cfg.num_tiles} tiles), "
-        f"capacity {cfg.capacity(NUM_SPLATS)}")
+    from openglgaussiansplattingrenderer_tpu.render import autotune_capacity
+
+    # tile/chunk from the hardware sweeps (r2 scripts/sweep_configs.py; r3
+    # re-checked 64px tiles at the flagship point -- composite waste loses
+    # to the record savings). Capacity is AUTOTUNED (r3): pinned to the
+    # measured record count + margin; capacity bounds the record sort +
+    # expand cost, the pipeline's first-order knob. Overflow asserted zero.
+    cfg0 = RenderConfig.for_resolution(
+        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=128)
+    if os.environ.get("BENCH_CAP_FACTOR"):
+        import dataclasses as _dc
+
+        cfg0 = _dc.replace(cfg0, dup_capacity_factor=float(
+            os.environ["BENCH_CAP_FACTOR"]))
 
     # splat size tuned so the scene composites like a real capture
     # (~2-4 tiles/splat at 1080p), cf. bike-big.ply scale statistics
@@ -93,6 +95,12 @@ def main():
     view = jnp.asarray(args["view"])
     vp = jnp.asarray(args["vp"])
     cam_f = (args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"])
+    if os.environ.get("BENCH_CAP_FACTOR"):
+        cfg = cfg0
+    else:
+        cfg = autotune_capacity(params, view, vp, *cam_f, WIDTH, HEIGHT, cfg0)
+    log(f"grid {cfg.grid_x}x{cfg.grid_y} ({cfg.num_tiles} tiles), "
+        f"capacity {cfg.capacity(NUM_SPLATS)}")
 
     @jax.jit
     def fwd(p):
@@ -192,13 +200,61 @@ def main():
     log(f"fwd {fwd_ms:.1f} ms/frame ({1000 / fwd_ms:.2f} fps), "
         f"fwd+bwd {fb_ms:.1f} ms/frame ({1000 / fb_ms:.2f} fps), "
         f"grads finite: {finite}, overflow: {overflow}")
-
     msplat_s = NUM_SPLATS / 1e6 * (1000.0 / fb_ms)
+
+    # ---- flagship: the reference's own operating point, fwd-only ---------
+    import dataclasses
+
+    fcfg0 = RenderConfig.for_resolution(FLAG_W, FLAG_H, tile_px=32,
+                                        use_pallas=True, chunk=128)
+    fcam = Camera(0.0, 0.0, -8.0, width=FLAG_W, height=FLAG_H)
+    fa = camera_args(fcam)
+    fview, fvp = jnp.asarray(fa["view"]), jnp.asarray(fa["vp"])
+    fcam_f = (fa["focal_x"], fa["focal_y"], fa["tan_fovx"], fa["tan_fovy"])
+    fscenes = {
+        "uniform": ply_io.make_synthetic_scene(
+            FLAG_SPLATS, seed=99, extent=3.0, log_scale_range=(-5.8, -3.6)),
+        "clustered": ply_io.make_clustered_scene(FLAG_SPLATS, seed=7,
+                                                 extent=3.0),
+    }
+    fparams = {k: {k2: jnp.asarray(v) for k2, v in sc.items()
+                   if k2 != "sh_rest"} for k, sc in fscenes.items()}
+    fcap = max(autotune_capacity(p, fview, fvp, *fcam_f, FLAG_W, FLAG_H,
+                                 fcfg0).capacity_records
+               for p in fparams.values())
+    fcfg = dataclasses.replace(fcfg0, capacity_records=fcap)
+    log(f"flagship: {FLAG_SPLATS} splats at {FLAG_W}x{FLAG_H}, grid "
+        f"{fcfg.grid_x}x{fcfg.grid_y}, capacity {fcap}")
+
+    ffwd = jax.jit(functools.partial(render_arrays, width=FLAG_W,
+                                     height=FLAG_H, cfg=fcfg))
+    flag_fps = {}
+    for name, p in fparams.items():
+        t0 = time.time()
+        img, st = ffwd(p, fview, fvp, *fcam_f)
+        fence(img)
+        log(f"flagship {name}: compile+run {time.time() - t0:.1f}s, "
+            f"records {int(st['num_records'])}, max_bin {int(st['max_bin'])}")
+        assert int(st["overflow"]) == 0, f"flagship {name} overflow"
+        t0 = time.time()
+        for _ in range(ITERS):
+            img, _ = ffwd(p, fview, fvp, *fcam_f)
+        fence(img)
+        ms = (time.time() - t0) / ITERS * 1000
+        flag_fps[name] = 1000.0 / ms
+        log(f"flagship {name}: {ms:.1f} ms/frame ({flag_fps[name]:.2f} fps)")
+
+    flag = min(flag_fps.values())   # honest floor: the worse statistics
     print(json.dumps({
-        "metric": "msplats_fwdbwd_1080p",
-        "value": round(msplat_s, 3),
-        "unit": "Msplat/s",
-        "vs_baseline": round(msplat_s / BASELINE_MSPLAT_S, 4),
+        "metric": "fps_flagship_1024x512_fwd",
+        "value": round(flag, 3),
+        "unit": "fps",
+        "vs_baseline": round(flag / BASELINE_FPS, 4),
+        "flagship_fps_uniform": round(flag_fps["uniform"], 2),
+        "flagship_fps_clustered": round(flag_fps["clustered"], 2),
+        "msplats_fwdbwd_1080p": round(msplat_s, 3),
+        "msplats_fwdbwd_1080p_vs_proxy": round(msplat_s / BASELINE_MSPLAT_S,
+                                               4),
     }))
 
 

@@ -283,6 +283,9 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     cam_bundles = trainer.camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
 
+    import time as _time
+
+    t0 = _time.time()
     history = []
     for i in range(tc.steps):
         j = i % len(targets)
@@ -314,10 +317,12 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
                       f"{dc.opacity_reset_ceiling})")
 
         if i % log_every == 0 or i == tc.steps - 1:
+            # float(...) fences the async dispatch, so wall_s is honest
             m = {"loss": float(metrics["loss"]),
                  "psnr": float(metrics["psnr"]),
                  "alive": int(jnp.sum(alive))}
-            history.append({"step": i, **m})
+            history.append({"step": i, **m,
+                            "wall_s": round(_time.time() - t0, 3)})
             if verbose:
                 print(f"step {i}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
                       f"alive {m['alive']}")
