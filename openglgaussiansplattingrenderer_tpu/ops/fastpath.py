@@ -140,8 +140,15 @@ def expand_depth_records(
     # ``render_fast`` becomes lexicographic (tile, depth) instead.
     hoist = cfg.hoist_depth_sort
     with_depth = with_depth or not hoist
+    # optional zero "shift" added to the composited mean2d only (not the
+    # binning rects) -- its gradient is the SCREEN-space positional gradient
+    # 3DGS densification selects on (graphdeco's viewspace_point_tensor
+    # trick); see train/trainer.py grad_stat="screen"
+    mean2d = prep["mean2d"]
+    if "shift2d" in params:
+        mean2d = mean2d + params["shift2d"]
     fields = (
-        prep["mean2d"][:, 0], prep["mean2d"][:, 1],
+        mean2d[:, 0], mean2d[:, 1],
         prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
         prep["opacity"], colors[:, 0], colors[:, 1], colors[:, 2],
         prep["tile_min"][:, 0].astype(jnp.float32),

@@ -92,6 +92,12 @@ def render_arrays(
         cfg, capacity,
     )
     sorted_sid, bounds = binning.sort_and_bin(recs, cfg)
+    if "shift2d" in params:
+        # zero shift whose gradient is the screen-space positional gradient
+        # (densification statistic); composited mean2d only, like the fast
+        # path and graphdeco's viewspace_point_tensor
+        prep = dict(prep)
+        prep["mean2d"] = prep["mean2d"] + params["shift2d"]
     gathered = compositing.gather_records(prep, effective_colors(params, view, cfg),
                                           sorted_sid)
 

@@ -123,19 +123,37 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                     height: int,
                     loss_fn: Optional[Callable] = None,
                     with_grad_norms: bool = False,
+                    grad_stat: str = "screen",
                     param_keys=None) -> Callable:
     """Jitted (state, target, camera args) -> (state, metrics) step.
 
-    ``with_grad_norms`` adds a per-splat ``means_grad_norm`` (N,) array to
+    ``with_grad_norms`` adds a per-splat ``densify_grad_norm`` (N,) array to
     the metrics -- the selection statistic for adaptive density control
-    (train/densify.py). ``param_keys`` must name the raw pytree's keys when
-    they differ from the default five (e.g. ``sh_rest`` training).
+    (train/densify.py). ``grad_stat`` picks it:
+
+    - ``"screen"`` (default): the SCREEN-space positional gradient, exactly
+      3DGS's statistic (graphdeco gaussian_renderer: the grad of a zero
+      ``viewspace_point_tensor`` added to the rasterized means2D). Computed
+      here as the grad w.r.t. a zero per-splat shift injected after
+      preprocess, scaled by (W/2, H/2) so the units are NDC -- resolution-
+      independent, matching graphdeco's threshold calibration (2e-4).
+    - ``"world"``: the 3D dL/d means norm (rounds 1-2 behaviour; ranking
+      correlates with screen-space at Spearman rho ~ 0.81 / top-10%
+      overlap ~ 0.6 on a deep scene -- tests/test_densify_trigger.py).
+
+    ``param_keys`` must name the raw pytree's keys when they differ from
+    the default five (e.g. ``sh_rest`` training).
     """
+    if grad_stat not in ("screen", "world"):
+        raise ValueError(f"unknown grad_stat {grad_stat!r}")
     optimizer = (make_optimizer(tc) if param_keys is None
                  else make_optimizer(tc, keys=param_keys))
+    screen = with_grad_norms and grad_stat == "screen"
 
-    def loss_of(raw, target, view, vp, fx, fy, tfx, tfy):
+    def loss_of(raw, shift2d, target, view, vp, fx, fy, tfx, tfy):
         params = params_from_raw(raw)
+        if shift2d is not None:
+            params["shift2d"] = shift2d
         img, _ = render_arrays(params, view, vp, fx, fy, tfx, tfy,
                                width, height, cfg)
         pred = img[..., :3]
@@ -145,10 +163,20 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
 
     @jax.jit
     def step(raw, opt_state, target, view, vp, fx, fy, tfx, tfy):
-        (loss, pred), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            raw, target, view, vp, fx, fy, tfx, tfy)
-        gnorm = (jnp.linalg.norm(grads["means"], axis=-1)
-                 if with_grad_norms else None)
+        if screen:
+            shift = jnp.zeros((raw["means"].shape[0], 2), jnp.float32)
+            (loss, pred), (grads, gshift) = jax.value_and_grad(
+                loss_of, argnums=(0, 1), has_aux=True)(
+                raw, shift, target, view, vp, fx, fy, tfx, tfy)
+            # pixel-grads scaled to NDC units (x_ndc = 2 x_px / W)
+            gnorm = jnp.linalg.norm(
+                gshift * jnp.array([width / 2.0, height / 2.0]), axis=-1)
+        else:
+            (loss, pred), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(
+                raw, None, target, view, vp, fx, fy, tfx, tfy)
+            gnorm = (jnp.linalg.norm(grads["means"], axis=-1)
+                     if with_grad_norms else None)
         updates, opt_state = optimizer.update(grads, opt_state, raw)
         raw = optax.apply_updates(raw, updates)
         return raw, opt_state, loss, losses.psnr(pred, target), gnorm
@@ -159,7 +187,7 @@ def make_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
             state.raw, state.opt_state, target, view, vp, fx, fy, tfx, tfy)
         metrics = {"loss": loss, "psnr": p}
         if with_grad_norms:
-            metrics["means_grad_norm"] = gnorm
+            metrics["densify_grad_norm"] = gnorm
         return TrainState(raw, opt_state, state.step + 1), metrics
 
     run.init = lambda raw: TrainState(raw, optimizer.init(raw), 0)

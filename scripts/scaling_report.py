@@ -21,7 +21,14 @@ import numpy as np
 
 NUM_SPLATS = 200_000
 WIDTH, HEIGHT = 1920, 1080
-ICI_GBPS = 186.0   # one v5e ICI link direction, ~GB/s (order-of-magnitude)
+# One v5e ICI link direction, ~GB/s. ORDER-OF-MAGNITUDE constant, not a
+# measurement: single-chip hardware here means the exchange has never moved
+# real ICI traffic, so every comm number below is an analytic BOUND under
+# this assumed rate, and the efficiency figures this script prints must be
+# quoted with that caveat (VERDICT r2 weak #9). The load-balance statistics
+# (records per owner, pair imbalance) ARE real -- they come from the actual
+# record distribution -- only the GB/s is assumed.
+ICI_GBPS = 186.0
 
 
 def log(*a):
@@ -101,7 +108,10 @@ def main():
 
     eff = 1.0 / imbalance(per_chip_pairs)
     log(f"scaling-efficiency bound from composite load balance: "
-        f"{eff * 100:.1f}%  (north-star target >= 80%)")
+        f"{eff * 100:.1f}%  (north-star target >= 80%; ANALYTIC bound -- "
+        "load balance is measured from the real record distribution, but "
+        "no multi-chip hardware exists here, so comm/overlap is modelled "
+        f"at an assumed {ICI_GBPS:.0f} GB/s ICI, not measured)")
 
     # cross-check the analytical distribution against the real sharded path
     from openglgaussiansplattingrenderer_tpu.parallel.sharded import (
