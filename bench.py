@@ -156,17 +156,20 @@ def main():
     gate_bad = int((gd.max(axis=-1) > 1e-3).sum())
     log(f"correctness gate: device pallas-vs-oracle max abs diff "
         f"{gate_diff:.2e}, px>1e-3: {gate_bad} (10k splats, {gw}x{gh})")
-    # Tolerance design mirrors the reference's own CPU-vs-GPU assertions
-    # (0.01 tolerance, <=100 mismatches allowed; Splats.cpp:783-843): Mosaic
-    # and XLA round transcendentals differently at the ulp level, which can
-    # flip the 1/255 alpha-cutoff / 0.99-saturation branches for borderline
-    # records -- a handful of pixels then differ by ~alpha ~= 1/255 = 3.9e-3.
-    # Verified (r2): interpret-mode kernel == oracle to 3e-7 with 0 bad px on
-    # this exact scene; on-device diff is 4.4e-3 on 5 px regardless of dot
-    # precision or chunk size. A miscompile would not stay at 5 localized px.
-    assert gate_diff <= 2e-2 and gate_bad <= 100, (
-        f"on-device Pallas render diverges from oracle: max {gate_diff:.2e}, "
-        f"{gate_bad} px > 1e-3")
+    # Tolerance: the divergence is ROOT-CAUSED (r3, scripts/gate_divergence.py
+    # + QUIRKS.md): on this exact scene all 5 differing pixels have exactly
+    # one record whose post-blend transmittance lands within <= 1.4e-6 of
+    # the 0.99 SATURATION threshold (draw.glsl:129's break); Mosaic and XLA
+    # round exp/cumprod differently at the ulp level, flipping whether the
+    # records BEHIND it still blend -- each flip changes the pixel by that
+    # record's contribution (~alpha*T*color <= ~4.4e-3). Interpret-mode ==
+    # oracle at 3e-7 with 0 bad px. The gate is pinned to the measured
+    # envelope (was 2e-2 / 100 px while the cause was assumed); a real
+    # miscompile would not stay at a handful of saturation-borderline px.
+    assert gate_diff <= 5e-3 and gate_bad <= 10, (
+        f"on-device Pallas render diverges from oracle beyond the pinned "
+        f"saturation-flip envelope: max {gate_diff:.2e}, {gate_bad} px > 1e-3"
+        " (run scripts/gate_divergence.py to re-attribute)")
 
     t0 = time.time()
     img, stats = fwd(params)

@@ -17,9 +17,15 @@ import time
 
 import numpy as np
 
-NUM_SPLATS = 1_000_000
-WIDTH, HEIGHT = 1920, 1080
-ITERS = 20
+# Defaults = the 1M/1080p bench scene; env overrides sweep other operating
+# points (e.g. the flagship clustered point: SWEEP_SPLATS=3616103
+# SWEEP_W=1024 SWEEP_H=512 SWEEP_SCENE=clustered SWEEP_CAP=6291456).
+NUM_SPLATS = int(os.environ.get("SWEEP_SPLATS", "1000000"))
+WIDTH = int(os.environ.get("SWEEP_W", "1920"))
+HEIGHT = int(os.environ.get("SWEEP_H", "1080"))
+SCENE = os.environ.get("SWEEP_SCENE", "bench")
+CAP = os.environ.get("SWEEP_CAP")
+ITERS = int(os.environ.get("SWEEP_ITERS", "20"))
 REPEATS = 3
 # (power formulation, exit rows, chunk, sub_chunks, sub_gate);
 # exit rows None -> whole tile; sub_chunks 1 -> whole-chunk gating
@@ -88,9 +94,16 @@ def main():
 
     cfg = RenderConfig.for_resolution(
         WIDTH, HEIGHT, tile_px=32, use_pallas=True, chunk=128,
-        dup_capacity_factor=3.0)  # tight-rect allocation: 2.50M records at this scene
-    scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
-                                        log_scale_range=(-5.5, -3.2))
+        dup_capacity_factor=3.0,  # tight-rect: 2.50M records at the bench scene
+        capacity_records=int(CAP) if CAP else None)
+    if SCENE == "bench":
+        scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,
+                                            log_scale_range=(-5.5, -3.2))
+    elif SCENE == "uniform":
+        scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=99, extent=3.0,
+                                            log_scale_range=(-5.8, -3.6))
+    else:
+        scene = ply_io.make_clustered_scene(NUM_SPLATS, seed=7, extent=3.0)
     cam = Camera(0.0, 0.0, -8.0, width=WIDTH, height=HEIGHT)
     args = camera_args(cam)
     params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
