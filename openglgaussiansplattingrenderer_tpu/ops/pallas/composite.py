@@ -621,9 +621,13 @@ def _interpret() -> bool:
 
 FWD_TEMP_BUDGET = 320_000   # elements per (pixel-block, chunk) temp
 BWD_TEMP_BUDGET = 131_072
-FWD_EXIT_ROWS = None        # fwd pixel-block rows cap = early-exit granularity
+# r3 flagship-clustered sweep (scripts/sweep_composite.py, 3.6M @ 1024x512
+# clustered, isolated composite fwd): sep/rows8 55.3 ms vs direct/None
+# 58.6 ms; r2's 1080p sweep had the same pair within +-3%. SUB_CHUNKS > 1
+# measured catastrophic there (176 ms) -- stays 1.
+FWD_EXIT_ROWS = 8           # fwd pixel-block rows cap = early-exit granularity
 BWD_EXIT_ROWS = None        # bwd pixel-block rows cap = early-exit granularity
-POWER_FORM = "direct"       # "sos" | "sep" | "direct" (sweep knob; same
+POWER_FORM = "sep"          # "sos" | "sep" | "direct" (sweep knob; same
                             # semantics; "sep" == "sos" bit-exactly in
                             # interpret mode, to ulps on hardware)
 SUB_CHUNKS = 1              # record-axis early-exit granularity: split each

@@ -91,6 +91,29 @@ class Splats:
         p["cov6"] = jnp.asarray(self.cov6)
         return p
 
+    def autotune_capacity(self, camera, margin: float = 1.2) -> None:
+        """Pin the record capacity to this scene's measured record count
+        from ``camera``'s viewpoint (``render.autotune_capacity``).
+
+        Capacity bounds the record sort + expand cost -- the pipeline's
+        first-order perf knob -- so interactive use should call this once
+        after construction (and again after large viewpoint changes; the
+        reference instead reads its duplicate counter back EVERY frame,
+        ``src/Splats.cpp:579-583``). Overflow on later frames is reported
+        by ``last_stats['overflow']`` and warned about, exactly as with a
+        fixed ``dup_capacity_factor``.
+        """
+        from openglgaussiansplattingrenderer_tpu.render import (
+            autotune_capacity,
+            camera_args,
+        )
+
+        a = camera_args(camera)
+        self.cfg = autotune_capacity(
+            self._params(), a["view"], a["vp"], a["focal_x"], a["focal_y"],
+            a["tan_fovx"], a["tan_fovy"], self.width, self.height, self.cfg,
+            margin=margin)
+
     def gpu_render(self, view_matrix, width, height, focal_x, focal_y,
                    tan_fov_x, tan_fov_y, vp_matrix) -> np.ndarray:
         """TPU render with the reference ``gpuRender`` signature

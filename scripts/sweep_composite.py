@@ -159,6 +159,8 @@ def main():
             f"sub={subc} gate={int(gate)}: composite fwd {fwd_ms:7.2f} ms  "
             f"(compile+measure {time.time()-t0:.0f}s)")
 
+    if os.environ.get("SWEEP_NO_BWD"):
+        return
     # backward: power-form x exit-granularity x sub-chunk variants (the
     # backward recompute follows POWER_FORM and SUB_CHUNKS, so they are
     # bwd knobs too)

@@ -57,3 +57,21 @@ def test_display_requires_render(tmp_path):
 
     with pytest.raises(RuntimeError):
         splats.display("/tmp/nope.png")
+
+
+def test_facade_autotune_capacity():
+    """Splats.autotune_capacity pins cfg.capacity_records to the measured
+    record count (+ margin, quantized) and the subsequent render fits with
+    zero overflow."""
+    from openglgaussiansplattingrenderer_tpu import Camera, RenderConfig, Splats
+
+    cfg = RenderConfig(use_pallas=False, dup_capacity_factor=256.0,
+                       max_per_tile=256, chunk=64)
+    s = Splats("/root/reference/testSingleItem.ply", 128, 128, cfg=cfg)
+    cam = Camera(0, 0, -3.0, width=128, height=128)
+    s.autotune_capacity(cam)
+    assert s.cfg.capacity_records is not None
+    assert s.cfg.capacity_records < 256 * 64  # far below the blanket factor
+    img = s.render_camera(cam)
+    assert int(s.last_stats["overflow"]) == 0
+    assert img.max() > 0.01
