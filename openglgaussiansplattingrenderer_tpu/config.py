@@ -65,6 +65,13 @@ class RenderConfig:
     # Depth-key mode:
     #   "pair"      - lexicographic (tile:int32, depth:float32) sort; full float
     #                 depth precision at any tile count (TPU-native design).
+    #   "packed"    - fast path (hoist_depth_sort=False) only: one u32 key =
+    #                 tile * 2^22 + 22-bit-quantized ndc depth. One key
+    #                 operand fewer on the record sort; strictly MORE depth
+    #                 precision than the reference's own packed float key
+    #                 (~14 effective bits at hundreds of tiles), but not the
+    #                 "pair" mode's exact f32 (same-bucket ties fall back to
+    #                 splat order). num_tiles <= 512.
     #   "reference" - single float32 key = tileIndex + ndc_z in [0,1)
     #                 (ref shaders/preprocess.glsl:154); loses depth precision
     #                 as tileIndex grows; kept for parity testing.

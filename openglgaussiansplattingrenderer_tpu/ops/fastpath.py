@@ -250,14 +250,32 @@ def render_fast(
         # records arrive depth-ordered (stage 1), so a stable single-key
         # tile sort suffices
         sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+        tile_bnd = jnp.arange(t + 1, dtype=jnp.int32)
+    elif cfg.depth_key == "packed":
+        # single u32 key = tile * 2^22 + 22-bit-quantized ndc depth -- the
+        # reference's own packed-key design (preprocess.glsl:154) with FAR
+        # more depth precision (its float key keeps ~14 mantissa bits at
+        # hundreds of tiles; this keeps 22 at any tile count <= 512).
+        # One key operand instead of two; blend order can differ from the
+        # exact "pair" mode only when two same-tile records quantize to the
+        # same 2^-22 depth bucket (ties then break by splat order, stable).
+        if t > 512:
+            raise ValueError("depth_key='packed' needs num_tiles <= 512")
+        q = jnp.uint32(1 << 22)
+        qd = jnp.minimum(
+            (jnp.clip(rec_sm[rk.NUM_FIELDS + 1, :], 0.0, 1.0)
+             * (1 << 22)).astype(jnp.uint32), q - 1)
+        key = tile_key.astype(jnp.uint32) * q + qd
+        sk2, _, sf2 = rk.sort_with_payload(key, rec_fields)
+        tile_bnd = (jnp.arange(t + 1, dtype=jnp.uint32) * q)
     else:
         # no stage-1 depth sort: lexicographic (tile, record depth) pair
         depth_row = rec_sm[rk.NUM_FIELDS + 1, :]
         (sk2, _), _, sf2 = rk.sort_multi_with_payload(
             (tile_key, depth_row), rec_fields)
+        tile_bnd = jnp.arange(t + 1, dtype=jnp.int32)
 
-    bounds = jnp.searchsorted(
-        sk2, jnp.arange(t + 1, dtype=jnp.int32), side="left").astype(jnp.int32)
+    bounds = jnp.searchsorted(sk2, tile_bnd, side="left").astype(jnp.int32)
     if stop_after == "sort2":
         return sf2[0], {"fields": sf2, "bounds": bounds}
 

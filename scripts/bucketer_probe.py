@@ -71,7 +71,9 @@ def main():
         b_of = jnp.floor(tile * (K / 512.0))           # bucket of each record
         # one-hot built records-on-lanes (like records._dot_rt): slot_iota
         # rides sublanes so no cross-lane transposes are needed
-        slot_iota = jax.lax.broadcasted_iota(jnp.float32, (SLOTS, R), 0)
+        # Mosaic iota must be integer-typed; cast for the f32 compare
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (SLOTS, R), 0).astype(jnp.float32)
         for b in range(K):                             # static unroll
             mask = jnp.where(b_of == float(b), 1.0, 0.0)        # (1, R)
             # in-bucket rank: inclusive prefix sum over lanes (log2 R steps)

@@ -38,7 +38,9 @@ REPEATS = 3
 TILE_PX = int(os.environ.get("FLAGSHIP_TILE_PX", "32"))
 CHUNK = int(os.environ.get("FLAGSHIP_CHUNK", "128"))
 WITH_BWD = bool(int(os.environ.get("FLAGSHIP_BWD", "0")))
-HOIST = bool(int(os.environ.get("FLAGSHIP_HOIST", "1")))
+# default follows RenderConfig.hoist_depth_sort (False since r3)
+HOIST = bool(int(os.environ.get("FLAGSHIP_HOIST", "0")))
+DEPTH_KEY = os.environ.get("FLAGSHIP_DEPTH_KEY", "pair")
 
 
 def log(*a):
@@ -78,7 +80,8 @@ def main():
              args["tan_fovy"])
     base = RenderConfig.for_resolution(WIDTH, HEIGHT, tile_px=TILE_PX,
                                        use_pallas=True, chunk=CHUNK,
-                                       hoist_depth_sort=HOIST)
+                                       hoist_depth_sort=HOIST,
+                                       depth_key=DEPTH_KEY)
     log(f"grid {base.grid_x}x{base.grid_y} ({base.num_tiles} tiles)")
 
     def fence(x):

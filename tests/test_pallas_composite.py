@@ -214,3 +214,28 @@ def test_no_hoist_depth_sort_matches_hoisted():
     for k in g_h:
         np.testing.assert_allclose(g_n[k], g_h[k], rtol=1e-6, atol=1e-9,
                                    err_msg=f"gradient mismatch for {k}")
+
+
+def test_packed_depth_key_matches_pair_mode():
+    """depth_key="packed" (single u32 tile<<22|qdepth key) must reproduce
+    the exact "pair" mode wherever same-tile depths don't collide within a
+    2^-22 bucket -- which a random continuous scene never does."""
+    w = h = 96
+    scene = ply_io.make_clustered_scene(600, seed=13, extent=2.0)
+    cam = Camera(0.0, 0.0, -6.0, width=w, height=h)
+    cfg_pair = dataclasses.replace(BASE, use_pallas=True,
+                                   hoist_depth_sort=False, depth_key="pair")
+    cfg_pack = dataclasses.replace(cfg_pair, depth_key="packed")
+    img_a, stats_a = _run(scene, cam, cfg_pair, w, h)
+    img_b, stats_b = _run(scene, cam, cfg_pack, w, h)
+    assert int(stats_a["overflow"]) == 0
+    assert int(stats_b["binned_records"]) == int(stats_a["binned_records"])
+    np.testing.assert_array_equal(img_b, img_a)
+
+    # gradients ride the same sorted layout: also identical
+    target = np.zeros((h, w, 3), np.float32)
+    loss_a, g_a = _run(scene, cam, cfg_pair, w, h, grad=True, target=target)
+    loss_b, g_b = _run(scene, cam, cfg_pack, w, h, grad=True, target=target)
+    assert np.isclose(loss_b, loss_a, rtol=1e-6)
+    for k in g_a:
+        np.testing.assert_allclose(g_b[k], g_a[k], rtol=1e-6, atol=1e-9)
