@@ -208,8 +208,14 @@ def main():
     # ---- flagship: the reference's own operating point, fwd-only ---------
     import dataclasses
 
+    # depth_key="packed": one u32 tile||22-bit-depth key on the record sort
+    # (~5 ms off both scenes) -- apples-to-apples-or-better vs the
+    # reference, whose own packed float key keeps ~14 depth bits at this
+    # tile count (preprocess.glsl:154); the gate above runs the exact
+    # "pair" mode. Measured r3: packed 126.1/146.1 ms vs pair 131.3/151.3.
     fcfg0 = RenderConfig.for_resolution(FLAG_W, FLAG_H, tile_px=32,
-                                        use_pallas=True, chunk=128)
+                                        use_pallas=True, chunk=128,
+                                        depth_key="packed")
     fcam = Camera(0.0, 0.0, -8.0, width=FLAG_W, height=FLAG_H)
     fa = camera_args(fcam)
     fview, fvp = jnp.asarray(fa["view"]), jnp.asarray(fa["vp"])
