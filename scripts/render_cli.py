@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--tile-px", type=int, default=0,
                     help="tile pixel size (0 = reference 16x16 grid)")
     ap.add_argument("--capacity-factor", type=float, default=8.0)
+    ap.add_argument("--autotune", action="store_true",
+                    help="pin record capacity to the measured count for "
+                         "the initial camera (render.autotune_capacity)")
+    ap.add_argument("--depth-key", default="pair",
+                    choices=["pair", "packed", "reference"],
+                    help="record sort key: exact f32 pair (default), packed "
+                         "u32 tile|22-bit depth (faster; >= reference "
+                         "precision), or the reference's lossy float key")
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--no-pallas", action="store_true",
                     help="use the XLA oracle pipeline")
@@ -65,7 +73,7 @@ def main():
 
     kw = dict(use_pallas=not args.no_pallas,
               dup_capacity_factor=args.capacity_factor, chunk=args.chunk,
-              antialiased=args.antialiased)
+              antialiased=args.antialiased, depth_key=args.depth_key)
     if args.tile_px > 0:
         cfg = RenderConfig.for_resolution(args.width, args.height,
                                           tile_px=args.tile_px, **kw)
@@ -78,6 +86,11 @@ def main():
     cam = Camera(*args.pos, width=args.width, height=args.height,
                  fovy=args.fovy)
     cam.set_rotation(*args.rot)
+
+    if args.autotune:
+        splats.autotune_capacity(cam)
+        cfg = splats.cfg
+        print(f"autotuned capacity: {cfg.capacity_records} records")
 
     if args.orbit > 0:
         summary = offline.render_orbit(

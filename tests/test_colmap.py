@@ -171,6 +171,7 @@ def test_distortion_warning(tmp_path):
         cm.load_colmap(str(tmp_path), load_images=False)
 
 
+@pytest.mark.slow
 def test_train_cli_colmap_end_to_end(tmp_path):
     """Full workspace: render targets from a tiny known cloud, package them
     as a COLMAP model, and fit from scratch via the CLI's COLMAP branch."""
@@ -290,6 +291,7 @@ def test_undistort_image_recovers_pinhole():
     np.testing.assert_allclose(ucam["params"], [fl, fl, w / 2.0, h / 2.0])
 
 
+@pytest.mark.slow
 def test_train_cli_distorted_colmap_end_to_end(tmp_path):
     """A RAW (distorted, SIMPLE_RADIAL) workspace trains end to end: targets
     are rendered pinhole, re-photographed through the distortion model, and

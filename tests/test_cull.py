@@ -117,6 +117,7 @@ def test_cull_exact_near_alpha_cutoff():
     np.testing.assert_allclose(img_p, img_j, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cull_grad_parity():
     scene = ply_io.make_synthetic_scene(500, seed=17, extent=2.5)
     cfg_p, cfg_j = _cfgs()

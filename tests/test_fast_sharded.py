@@ -38,6 +38,7 @@ def _single_fast(params, args):
         W, H, CFG)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_fast_sharded_render_matches_single(ndev):
     params, args = _setup(96)
@@ -124,6 +125,7 @@ def _skewed_setup(n=4096, seed=11):
     return params, camera_args(cam)
 
 
+@pytest.mark.slow
 def test_sharded_overflow_surfaces_and_warns():
     """VERDICT r2 weak #3: with a skewed scene and a small exch_factor the
     exchange buckets overflow; the stats must say so, the warn helper must

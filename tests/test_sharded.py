@@ -38,6 +38,7 @@ def _single_device_image(params, args):
     return img
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [2, 8])
 def test_sharded_render_matches_single(ndev):
     params, args = _setup(96)
@@ -49,6 +50,7 @@ def test_sharded_render_matches_single(ndev):
     np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single():
     params, args = _setup(64, seed=9)
     mesh = sharded.make_mesh(8)

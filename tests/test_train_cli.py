@@ -9,8 +9,10 @@ import sys
 from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_train_cli_densify_roundtrip(tmp_path):
     s = ply_io.make_synthetic_scene(40, seed=9, extent=1.2)
     s["opacities"] = np.clip(s["opacities"], 0.5, 0.9)
