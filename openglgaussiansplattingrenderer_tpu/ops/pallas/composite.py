@@ -264,7 +264,7 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
     def _():
         dma(0, 0).start()
 
-    def body(c, _):
+    def body(c):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nch)
@@ -273,93 +273,108 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
 
         dma(c, slot).wait()
 
-        # chunk-level early exit == draw.glsl's per-pixel 0.99 break
-        @pl.when(jnp.max(out_ref[0, :, 3:4]) > thresh)
-        def _():
-            rec = rec_buf[slot]                       # (NF, chunk)
-            k = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-                 + (start + c * chunk))
-            in_range = (k >= b0) & (k < b1)
-            sos = _sos_chunk(rec, ox, oy, in_range)
-            mxl = rec[0:1, :] - ox.astype(jnp.float32)
-            myl = rec[1:2, :] - oy.astype(jnp.float32)
-            # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
-            # and give the early exit sub-tile granularity; SUB_CHUNKS
-            # additionally splits the record axis so saturation mid-chunk
-            # skips the tail records too (transmittance carried through
-            # out_ref between sub-chunks -- with SUB_CHUNKS == 1 this is
-            # exactly the previous whole-chunk computation)
-            nsub = _num_sub(chunk)
-            sub = chunk // nsub
-            for b in range(nblk):
-                rows = slice(b * pblk, (b + 1) * pblk)
-                for s in range(nsub):
-                    sl = slice(s * sub, (s + 1) * sub)
+        rec = rec_buf[slot]                       # (NF, chunk)
+        k = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+             + (start + c * chunk))
+        in_range = (k >= b0) & (k < b1)
+        sos = _sos_chunk(rec, ox, oy, in_range)
+        mxl = rec[0:1, :] - ox.astype(jnp.float32)
+        myl = rec[1:2, :] - oy.astype(jnp.float32)
+        # pixel-row blocks bound the (pblk, chunk) temps to fit VMEM
+        # and give the early exit sub-tile granularity; SUB_CHUNKS
+        # additionally splits the record axis so saturation mid-chunk
+        # skips the tail records too (transmittance carried through
+        # out_ref between sub-chunks -- with SUB_CHUNKS == 1 this is
+        # exactly the previous whole-chunk computation)
+        nsub = _num_sub(chunk)
+        sub = chunk // nsub
+        for b in range(nblk):
+            rows = slice(b * pblk, (b + 1) * pblk)
+            for s in range(nsub):
+                sl = slice(s * sub, (s + 1) * sub)
 
-                    # (row-block, sub-chunk) early exit: saturation is
-                    # spatially uneven and happens mid-chunk -- both axes
-                    # of granularity approach draw.glsl's per-pixel break.
-                    # SUB_GATE=False keeps the shorter sub-chunk scans but
-                    # drops the per-sub-chunk branch (isolates gate cost
-                    # from scan-depth savings on hardware; identical values
-                    # either way).
-                    def _sub_body(b=b, rows=rows, s=s, sl=sl):
-                        s11, s12, s22, u0, v0, opm = (a[:, sl] for a in sos)
-                        trans = out_ref[0, rows, 3:4]     # (pblk, 1)
-                        fx, fy = _block_coords(b, pw, pb)
-                        if POWER_FORM == "sos":
-                            power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
-                            alpha = jnp.minimum(alpha_max,
-                                                jnp.exp(power) * opm)
-                            alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
-                        elif POWER_FORM == "sep":  # sos, row terms amortized
-                            power = _sep_power(s11, s12, s22, u0, v0,
-                                               b, pw, pb)
-                            alpha = jnp.minimum(alpha_max,
-                                                jnp.exp(power) * opm)
-                            alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
-                        else:  # direct quadratic (perf comparison; same maths)
-                            dx = fx - mxl[:, sl]
-                            dy = fy - myl[:, sl]
-                            power = (-0.5 * (rec[2:3, sl] * dx * dx
-                                             + rec[4:5, sl] * dy * dy)
-                                     - rec[3:4, sl] * dx * dy)
-                            alpha = jnp.minimum(alpha_max,
-                                                jnp.exp(power) * opm)
-                            alpha = jnp.where(
-                                (power <= 0.0) & (alpha >= alpha_min),
-                                alpha, 0.0)
+                # (row-block, sub-chunk) early exit: saturation is
+                # spatially uneven and happens mid-chunk -- both axes
+                # of granularity approach draw.glsl's per-pixel break.
+                # SUB_GATE=False keeps the shorter sub-chunk scans but
+                # drops the per-sub-chunk branch (isolates gate cost
+                # from scan-depth savings on hardware; identical values
+                # either way).
+                def _sub_body(b=b, rows=rows, s=s, sl=sl):
+                    s11, s12, s22, u0, v0, opm = (a[:, sl] for a in sos)
+                    trans = out_ref[0, rows, 3:4]     # (pblk, 1)
+                    fx, fy = _block_coords(b, pw, pb)
+                    if POWER_FORM == "sos":
+                        power = _sos_power(s11, s12, s22, u0, v0, fx, fy)
+                        alpha = jnp.minimum(alpha_max,
+                                            jnp.exp(power) * opm)
+                        alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+                    elif POWER_FORM == "sep":  # sos, row terms amortized
+                        power = _sep_power(s11, s12, s22, u0, v0,
+                                           b, pw, pb)
+                        alpha = jnp.minimum(alpha_max,
+                                            jnp.exp(power) * opm)
+                        alpha = jnp.where(alpha >= alpha_min, alpha, 0.0)
+                    else:  # direct quadratic (perf comparison; same maths)
+                        dx = fx - mxl[:, sl]
+                        dy = fy - myl[:, sl]
+                        power = (-0.5 * (rec[2:3, sl] * dx * dx
+                                         + rec[4:5, sl] * dy * dy)
+                                 - rec[3:4, sl] * dx * dy)
+                        alpha = jnp.minimum(alpha_max,
+                                            jnp.exp(power) * opm)
+                        alpha = jnp.where(
+                            (power <= 0.0) & (alpha >= alpha_min),
+                            alpha, 0.0)
 
-                        one_m = 1.0 - alpha
-                        s_excl = trans * _cumprod_excl_lanes(one_m)
-                        inc = s_excl > thresh
-                        w = jnp.where(inc, alpha * s_excl, 0.0)
-                        # colour accumulation as one MXU matmul contracting
-                        # lanes (exact enough at HIGHEST: replaces 3 VPU
-                        # mul+lane-reduces)
-                        out_ref[0, rows, 0:3] += jax.lax.dot_general(
-                            w, rec[6:9, sl],
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                        # new transmittance = inclusive prefix at the last
-                        # included lane; the prefix is non-increasing along
-                        # lanes (factors in [0,1]) and ``inc`` is a prefix
-                        # mask, so it's the masked min -- replaces a second
-                        # log2(chunk)-step cumprod scan.
-                        out_ref[0, rows, 3:4] = jnp.min(
-                            jnp.where(inc, s_excl * one_m, trans),
-                            axis=1, keepdims=True)
+                    one_m = 1.0 - alpha
+                    s_excl = trans * _cumprod_excl_lanes(one_m)
+                    inc = s_excl > thresh
+                    w = jnp.where(inc, alpha * s_excl, 0.0)
+                    # colour accumulation as one MXU matmul contracting
+                    # lanes (exact enough at HIGHEST: replaces 3 VPU
+                    # mul+lane-reduces)
+                    out_ref[0, rows, 0:3] += jax.lax.dot_general(
+                        w, rec[6:9, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    # new transmittance = inclusive prefix at the last
+                    # included lane; the prefix is non-increasing along
+                    # lanes (factors in [0,1]) and ``inc`` is a prefix
+                    # mask, so it's the masked min -- replaces a second
+                    # log2(chunk)-step cumprod scan.
+                    out_ref[0, rows, 3:4] = jnp.min(
+                        jnp.where(inc, s_excl * one_m, trans),
+                        axis=1, keepdims=True)
 
-                    # the first sub-chunk's gate IS the row-block gate;
-                    # later sub-chunks gate only when SUB_GATE
-                    if SUB_GATE or s == 0:
-                        pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)(
-                            _sub_body)
-                    else:
-                        _sub_body()
+                # the first sub-chunk's gate IS the row-block gate;
+                # later sub-chunks gate only when SUB_GATE
+                if SUB_GATE or s == 0:
+                    pl.when(jnp.max(out_ref[0, rows, 3:4]) > thresh)(
+                        _sub_body)
+                else:
+                    _sub_body()
+        return c + 1
 
-    jax.lax.fori_loop(0, nch, body, None)
+    # Chunk loop with a REAL early exit (r3): a fori_loop would still pay
+    # every skipped chunk's DMA + step overhead after the tile saturates --
+    # measured as the dominant composite cost on clustered scenes (tiles
+    # hold 100k+ records; 40k+ chunk steps per flagship frame). The while
+    # condition IS draw.glsl's 0.99 break, evaluated on the whole tile
+    # (row-block/sub-chunk gates above keep the finer granularity within a
+    # chunk).
+    def cond(c):
+        return (c < nch) & (jnp.max(out_ref[0, :, 3:4]) > thresh)
+
+    c_end = jax.lax.while_loop(cond, body, 0)
+
+    # drain the in-flight prefetch on early exit: body(c_end - 1) started
+    # dma(c_end) when c_end < nch; leaving its semaphore pending would
+    # corrupt the next grid step's waits (semaphores are reused)
+    @pl.when((c_end < nch) & (c_end > 0))
+    def _():
+        dma(c_end, jax.lax.rem(c_end, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
