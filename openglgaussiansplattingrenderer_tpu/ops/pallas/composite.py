@@ -383,8 +383,9 @@ def _fwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_ref, rec_buf,
 
 
 def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
-                drec_hbm, rec_buf, dbuf, state, rmw_buf, sem, osem, rsem,
-                *, chunk, pw, ph, p, pb, alpha_min, alpha_max, thresh):
+                zeros_ref, drec_hbm, rec_buf, dbuf, state, rmw_buf, sem,
+                osem, rsem, *, chunk, pw, ph, p, pb, alpha_min, alpha_max,
+                thresh):
     """Forward-walk backward pass for one tile.
 
     state: VMEM (p, 2) scratch -- col 0 = running transmittance, col 1 = D,
@@ -438,7 +439,7 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         def _():
             dma_rmw().start()
 
-    def body(c, _):
+    def body(c):
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nch)
@@ -451,18 +452,7 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
         def _():
             dma_out(c - 2, slot).wait()
 
-        # chunk-level early exit, mirroring the forward kernel: once every
-        # pixel is saturated the include mask is all-false, so the remaining
-        # chunks' gradients are exactly zero -- write zeros, skip compute
-        active = jnp.max(state[:, 0:1]) > thresh
-
-        @pl.when(jnp.logical_not(active))
-        def _():
-            dbuf[slot] = jnp.zeros((NF, chunk), jnp.float32)
-
-        @pl.when(active)
-        def _():
-            _bwd_chunk(c, slot)
+        _bwd_chunk(c, slot)
 
         # first chunk: restore predecessors' lanes in the shared chunk
         @pl.when((c == 0) & (b0 > start))
@@ -472,6 +462,7 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
             dbuf[slot] = jnp.where(lane < b0, rmw_buf[:, :], dbuf[slot])
 
         dma_out(c, slot).start()
+        return c + 1
 
     def _bwd_chunk(c, slot):
         rec = rec_buf[slot]                           # (NF, chunk)
@@ -613,16 +604,35 @@ def _bwd_kernel(bnd_ref, ox_ref, oy_ref, rec_hbm, out_res_ref, g_ref,
                 else:
                     blk(b, rows, s, sl)
 
-    jax.lax.fori_loop(0, nch, body, None)
-    # drain the last (up to) two in-flight output DMAs before the grid
-    # advances and another tile's kernel reuses the semaphores
-    @pl.when(nch >= 2)
-    def _():
-        dma_out(nch - 2, jax.lax.rem(nch - 2, 2)).wait()
+    # Chunk loop with a REAL early exit (r3, mirrors the forward kernel):
+    # once every pixel saturates, the remaining chunks' gradients are
+    # exactly zero -- and those chunks are never visited. Their output
+    # region must therefore be pre-zeroed: ``zeros_ref`` is an all-zero
+    # input ALIASED to ``drec_hbm`` (input_output_aliases in _bwd_call),
+    # so unvisited chunks already hold zero cotangents, and the RMW /
+    # "later tiles restore their lanes" invariants hold unchanged (a
+    # predecessor that exited early simply left zeros, which are its
+    # correct gradients there).
+    def cond(c):
+        return (c < nch) & (jnp.max(state[:, 0:1]) > thresh)
 
-    @pl.when(nch >= 1)
+    c_end = jax.lax.while_loop(cond, body, 0)
+    del zeros_ref  # same buffer as drec_hbm; never read by the kernel
+
+    # drain every in-flight DMA before the grid advances and another
+    # tile's kernel reuses the semaphores: the input prefetch issued for
+    # the never-visited chunk c_end, and the last (up to) two output DMAs
+    @pl.when((c_end < nch) & (c_end > 0))
     def _():
-        dma_out(nch - 1, jax.lax.rem(nch - 1, 2)).wait()
+        dma_in(c_end, jax.lax.rem(c_end, 2)).wait()
+
+    @pl.when(c_end >= 2)
+    def _():
+        dma_out(c_end - 2, jax.lax.rem(c_end - 2, 2)).wait()
+
+    @pl.when(c_end >= 1)
+    def _():
+        dma_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -707,6 +717,7 @@ def _bwd_call(rec, bounds, ox, oy, out_res, g, *, num_tiles, chunk, pw,
                          memory_space=pltpu.VMEM),                     # out res
             pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),                     # g
+            pl.BlockSpec(memory_space=pltpu.HBM),                      # zeros
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),                # drec
         scratch_shapes=[
@@ -719,12 +730,18 @@ def _bwd_call(rec, bounds, ox, oy, out_res, g, *, num_tiles, chunk, pw,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # zeros aliased to the output: unvisited (saturation-skipped) chunks
+    # must already hold zero cotangents. Operand indices for aliasing count
+    # the scalar-prefetch args: (bounds, ox, oy)=0..2, rec=3, out_res=4,
+    # g=5, zeros=6 -> output 0.
+    zeros = jnp.zeros(rec.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(rec.shape, jnp.float32),
+        input_output_aliases={6: 0},
         interpret=_interpret(),
-    )(bounds, ox, oy, rec, out_res, g)
+    )(bounds, ox, oy, rec, out_res, g, zeros)
 
 
 @functools.lru_cache(maxsize=64)
