@@ -32,6 +32,10 @@ ITERS = 10
 # sweep override (driver runs with no env): post-cull, 16px tiles carry
 # ~1.4x the records but ~2.1x less SIMD pair work -- re-testable knob
 TILE_PX = int(os.environ.get("BENCH_TILE_PX", "32"))
+# r3: with the compositor's real chunk-loop early exit, larger chunks mean
+# fewer loop steps; 256 beat 128 at the flagship point (129.8 vs 138.0 ms
+# clustered). The 1080p scene keeps its own knob for the A/B.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "128"))
 
 
 def log(*a):
@@ -78,7 +82,7 @@ def main():
     # measured record count + margin; capacity bounds the record sort +
     # expand cost, the pipeline's first-order knob. Overflow asserted zero.
     cfg0 = RenderConfig.for_resolution(
-        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=128)
+        WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=CHUNK)
     if os.environ.get("BENCH_CAP_FACTOR"):
         import dataclasses as _dc
 
@@ -214,7 +218,7 @@ def main():
     # tile count (preprocess.glsl:154); the gate above runs the exact
     # "pair" mode. Measured r3: packed 126.1/146.1 ms vs pair 131.3/151.3.
     fcfg0 = RenderConfig.for_resolution(FLAG_W, FLAG_H, tile_px=32,
-                                        use_pallas=True, chunk=128,
+                                        use_pallas=True, chunk=256,
                                         depth_key="packed")
     fcam = Camera(0.0, 0.0, -8.0, width=FLAG_W, height=FLAG_H)
     fa = camera_args(fcam)

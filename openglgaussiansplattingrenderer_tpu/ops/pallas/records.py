@@ -51,11 +51,15 @@ from jax.experimental.pallas import tpu as pltpu
 NUM_FIELDS = 9
 TABLE_ROWS = 16
 
+import os as _os
+
 OB = 512          # output records per expand/align sub-block
 IB = 768          # input span per sub-block: 128 (floor slack) + OB + 1, rounded
 SB = 512          # splats per segment-sum grid step
 ICH = 512         # record chunk per segment-sum inner step
-EXP_OUTER = 8     # expand sub-blocks per grid step (amortizes grid overhead)
+# expand sub-blocks per grid step (amortizes per-step overhead, measured
+# ~1.5 us/step; env knob for hardware sweeps, binds at trace time)
+EXP_OUTER = int(_os.environ.get("GS_EXP_OUTER", "8"))
 
 
 def round_up(x: int, m: int) -> int:
