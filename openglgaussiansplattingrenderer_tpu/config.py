@@ -77,6 +77,18 @@ class RenderConfig:
     #                 as tileIndex grows; kept for parity testing.
     depth_key: str = "pair"
 
+    # Record-sort engine for the single-key fast paths (depth_key="packed"
+    # or hoist_depth_sort=True):
+    #   "lax"   - jax.lax.sort payload sort (default; the measured floor of
+    #             this hardware generation, ARCHITECTURE.md dead-ends).
+    #   "radix" - the complete TPU-native 3-phase distribution sort
+    #             (ops/pallas/radix_sort.py), the reference's sort library
+    #             (src/sort.cpp:139-203) re-designed for Mosaic: exact,
+    #             stable, differentiable; measured slower than lax.sort
+    #             (scripts/radix_sort_bench.py), kept selectable for parity.
+    # The two-f32-key "pair" mode and the oracle path always use lax.sort.
+    record_sort: str = "lax"
+
     # Static cap on records composited per tile by the jnp fallback compositor
     # (rounded up to chunk size). Overflow is dropped and counted in stats.
     # The Pallas compositor has no such cap (it streams ragged ranges).

@@ -246,10 +246,24 @@ def render_fast(
     # ---- 4. sort records into (tile, depth) order -------------------------
     tile_key = rec_sm[rk.NUM_FIELDS, :].astype(jnp.int32)
     rec_fields = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS))
+    use_radix = cfg.record_sort == "radix"
+    if use_radix and cfg.hoist_depth_sort is False and cfg.depth_key != "packed":
+        raise ValueError(
+            "record_sort='radix' needs a single-key sort: depth_key='packed' "
+            "or hoist_depth_sort=True (the 'pair' mode is two f32 keys)")
+    if use_radix:
+        from openglgaussiansplattingrenderer_tpu.ops.pallas import (
+            radix_sort as rx)
     if cfg.hoist_depth_sort:
         # records arrive depth-ordered (stage 1), so a stable single-key
         # tile sort suffices
-        sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
+        if use_radix:
+            kb = max(1, int(t).bit_length())  # tile ids 0..t (t = invalid)
+            sk2u, _, sf2 = rx.radix_sort_with_payload(
+                tile_key.astype(jnp.uint32), rec_fields, kb)
+            sk2 = sk2u.astype(jnp.int32)
+        else:
+            sk2, _, sf2 = rk.sort_with_payload(tile_key, rec_fields)
         tile_bnd = jnp.arange(t + 1, dtype=jnp.int32)
     elif cfg.depth_key == "packed":
         # single u32 key = tile * 2^22 + 22-bit-quantized ndc depth -- the
@@ -266,7 +280,11 @@ def render_fast(
             (jnp.clip(rec_sm[rk.NUM_FIELDS + 1, :], 0.0, 1.0)
              * (1 << 22)).astype(jnp.uint32), q - 1)
         key = tile_key.astype(jnp.uint32) * q + qd
-        sk2, _, sf2 = rk.sort_with_payload(key, rec_fields)
+        if use_radix:
+            kb = 22 + max(1, int(t).bit_length())  # tile ids 0..t
+            sk2, _, sf2 = rx.radix_sort_with_payload(key, rec_fields, kb)
+        else:
+            sk2, _, sf2 = rk.sort_with_payload(key, rec_fields)
         tile_bnd = (jnp.arange(t + 1, dtype=jnp.uint32) * q)
     else:
         # no stage-1 depth sort: lexicographic (tile, record depth) pair

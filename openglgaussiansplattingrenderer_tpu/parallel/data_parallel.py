@@ -1,0 +1,155 @@
+"""View-parallel (data-parallel) training: views sharded, grads psum'd.
+
+The splat-sharded fast path (``parallel/fast_sharded.py``) scales a SINGLE
+frame across chips. Production 3DGS training more commonly scales the other
+axis: a BATCH of training views per optimizer step, one (or more) views per
+chip with the splat parameters replicated. Each chip renders its views with
+the unmodified single-device fast path -- all Pallas kernels, zero
+cross-chip traffic inside the frame -- computes its local loss gradients,
+and one ``pmean`` over ICI synchronizes the update. Per-chip work is a full
+forward+backward (hundreds of ms at real scale) against one ~60 MB gradient
+all-reduce, the classic compute-bound data-parallel regime.
+
+Composable with the splat-sharded path over a 2-D mesh in principle (views
+x splats); this module keeps the 1-D view axis -- the configuration that
+matches how 3DGS training is actually scaled in practice (batch size =
+chip count, e.g. Grendel-GS's data-parallel axis).
+
+The reference is strictly single-GPU and has no training at all
+(SURVEY.md section 2.4); this layer is north-star capability on top.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.parallel.sharded import (
+    AXIS,
+    make_mesh,
+    shard_map,
+)
+from openglgaussiansplattingrenderer_tpu.render import render_arrays
+from openglgaussiansplattingrenderer_tpu.train import losses
+from openglgaussiansplattingrenderer_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    params_from_raw,
+)
+
+__all__ = ["make_mesh", "stack_view_batch", "make_dp_train_step",
+           "replicate_tree"]
+
+
+def stack_view_batch(targets, bundles) -> Tuple[jnp.ndarray, ...]:
+    """(targets list, camera_bundles list) -> batched step arguments.
+
+    Returns (targets (B,H,W,3), view (B,4,4), vp (B,4,4), fx, fy, tfx, tfy
+    each (B,)) ready for ``make_dp_train_step``'s batch axis. ``bundles``
+    are ``trainer.camera_bundles`` tuples.
+    """
+    t = jnp.stack([jnp.asarray(x, jnp.float32) for x in targets])
+    view = jnp.stack([jnp.asarray(b[0], jnp.float32) for b in bundles])
+    vp = jnp.stack([jnp.asarray(b[1], jnp.float32) for b in bundles])
+    sc = [jnp.stack([jnp.asarray(b[i], jnp.float32) for b in bundles])
+          for i in (2, 3, 4, 5)]
+    return (t, view, vp, *sc)
+
+
+def replicate_tree(tree, mesh, axis: str = AXIS):
+    """Place a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
+                       height: int, mesh, *, batch: int,
+                       axis: str = AXIS,
+                       param_keys=None,
+                       with_grad_norms: bool = False):
+    """Jitted data-parallel train step over a ``batch`` of views.
+
+    ``batch`` must be a multiple of the mesh size; each chip renders
+    ``batch // ndev`` views sequentially (static unroll) and contributes
+    mean-of-local gradients to one ``pmean``. The optimizer update then
+    runs identically on every chip (raw params and Adam state stay
+    replicated -- no broadcast needed).
+
+    Step signature: ``(raw, opt_state, targets (B,H,W,3), view (B,4,4),
+    vp (B,4,4), fx, fy, tfx, tfy (B,)) -> (raw, opt_state, loss, psnr
+    [, densify_grad_norm])``. Loss/psnr are batch means. With
+    ``with_grad_norms``, the per-splat screen-space densification statistic
+    (see trainer.make_train_step) is SUMMED over the batch's views --
+    one dp step counts as ``batch`` view-iterations toward the
+    densification accumulators, exactly like ``batch`` sequential steps.
+    """
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if batch % ndev:
+        raise ValueError(f"batch {batch} not a multiple of mesh size {ndev}")
+    local_bs = batch // ndev
+    optimizer = (make_optimizer(tc) if param_keys is None
+                 else make_optimizer(tc, keys=param_keys))
+
+    def loss_of(raw, shift2d, target, view, vp, fx, fy, tfx, tfy):
+        params = params_from_raw(raw)
+        if shift2d is not None:
+            params["shift2d"] = shift2d
+        img, _ = render_arrays(params, view, vp, fx, fy, tfx, tfy,
+                               width, height, cfg)
+        pred = img[..., :3]
+        return losses.gs_loss(pred, target, tc.lambda_dssim), pred
+
+    def body(raw, opt_state, targets, view, vp, fx, fy, tfx, tfy):
+        # local leading axis: (local_bs, ...) views owned by this chip
+        n = raw["means"].shape[0]
+        grads = None
+        gnorm = jnp.zeros((n,), jnp.float32)
+        loss_acc = 0.0
+        psnr_acc = 0.0
+        for j in range(local_bs):
+            args = (targets[j], view[j], vp[j], fx[j], fy[j], tfx[j], tfy[j])
+            if with_grad_norms:
+                shift = jnp.zeros((n, 2), jnp.float32)
+                (loss, pred), (g, gshift) = jax.value_and_grad(
+                    loss_of, argnums=(0, 1), has_aux=True)(raw, shift, *args)
+                gnorm = gnorm + jnp.linalg.norm(
+                    gshift * jnp.array([width / 2.0, height / 2.0]), axis=-1)
+            else:
+                (loss, pred), g = jax.value_and_grad(
+                    loss_of, has_aux=True)(raw, None, *args)
+            grads = g if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g)
+            loss_acc = loss_acc + loss
+            psnr_acc = psnr_acc + losses.psnr(pred, targets[j])
+        grads = jax.tree_util.tree_map(lambda x: x / local_bs, grads)
+        # one ICI all-reduce syncs the batch-mean gradient
+        grads = jax.lax.pmean(grads, axis)
+        loss_m = jax.lax.pmean(loss_acc / local_bs, axis)
+        psnr_m = jax.lax.pmean(psnr_acc / local_bs, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        if with_grad_norms:
+            # densification statistic: SUM of per-view norms (batch view-
+            # iterations), like sequential 3DGS accumulation
+            gnorm = jax.lax.psum(gnorm, axis)
+            return raw, opt_state, loss_m, psnr_m, gnorm
+        return raw, opt_state, loss_m, psnr_m
+
+    rep, shd = P(), P(axis)
+    n_out = 5 if with_grad_norms else 4
+    step = jax.jit(shard_map(
+        body, mesh,
+        in_specs=(rep, rep, shd, shd, shd, shd, shd, shd, shd),
+        out_specs=(rep,) * n_out))
+
+    step.init = lambda raw: optimizer.init(raw)
+    return step
