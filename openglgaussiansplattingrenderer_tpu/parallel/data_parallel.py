@@ -46,7 +46,7 @@ from openglgaussiansplattingrenderer_tpu.train.trainer import (
 )
 
 __all__ = ["make_mesh", "stack_view_batch", "make_dp_train_step",
-           "replicate_tree"]
+           "replicate_tree", "fit_scene_dp"]
 
 
 def stack_view_batch(targets, bundles) -> Tuple[jnp.ndarray, ...]:
@@ -153,3 +153,51 @@ def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
 
     step.init = lambda raw: optimizer.init(raw)
     return step
+
+
+def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
+                 cfg: RenderConfig, tc: Optional[TrainConfig] = None,
+                 *, mesh=None, batch: Optional[int] = None,
+                 width: Optional[int] = None, height: Optional[int] = None,
+                 log_every: int = 50, verbose: bool = True):
+    """``trainer.fit_scene`` with view-parallel batching.
+
+    Each optimizer step consumes ``batch`` views (default: one per mesh
+    device), cycling through the view list; ``tc.steps`` optimizer steps
+    therefore see ``steps * batch`` view-iterations. Returns (activated
+    params, history) like ``fit_scene``.
+    """
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        camera_bundles,
+        camera_dims,
+        raw_from_params,
+    )
+
+    tc = tc or TrainConfig()
+    mesh = mesh if mesh is not None else make_mesh()
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    batch = batch or ndev
+    width = width or camera_dims(cameras[0])[0]
+    height = height or camera_dims(cameras[0])[1]
+
+    raw = replicate_tree(raw_from_params(params), mesh)
+    step = make_dp_train_step(cfg, tc, width, height, mesh, batch=batch,
+                              param_keys=tuple(sorted(raw.keys())))
+    opt_state = step.init(raw)
+    bundles = camera_bundles(cameras)
+    targets = [np.asarray(t, np.float32) for t in targets]
+
+    history = []
+    nv = len(targets)
+    for i in range(tc.steps):
+        sel = [(i * batch + j) % nv for j in range(batch)]
+        args = stack_view_batch([targets[s] for s in sel],
+                                [bundles[s] for s in sel])
+        raw, opt_state, loss, p = step(raw, opt_state, *args)
+        if i % log_every == 0 or i == tc.steps - 1:
+            m = {"loss": float(loss), "psnr": float(p)}
+            history.append({"step": i, **m})
+            if verbose:
+                print(f"step {i}: loss {m['loss']:.5f} "
+                      f"psnr {m['psnr']:.2f} (batch {batch})")
+    return params_from_raw(raw), history

@@ -47,6 +47,11 @@ def main():
                     help="initial splat count (0 = target count / 4)")
     ap.add_argument("--densify", action="store_true",
                     help="enable adaptive density control")
+    ap.add_argument("--data-parallel", type=int, default=0, metavar="NDEV",
+                    help="view-parallel training over NDEV devices (one "
+                    "view per device per step; params replicated, grads "
+                    "pmean-synced). 0 = off; requires NDEV <= device count "
+                    "and is mutually exclusive with --densify for now")
     ap.add_argument("--capacity", type=int, default=0,
                     help="densify capacity (0 = 4x init count)")
     ap.add_argument("--densify-interval", type=int, default=100)
@@ -78,6 +83,12 @@ def main():
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     args = ap.parse_args()
+
+    if args.data_parallel and args.densify:
+        print("FATAL: --data-parallel and --densify are not composable yet "
+              "(densification state updates are single-stream)",
+              file=sys.stderr)
+        sys.exit(1)
 
     if args.platform != "auto":
         import jax
@@ -210,6 +221,23 @@ def main():
             log_every=args.log_every)
         out_params = dn.compact_params(fitted, alive)
         fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
+    elif args.data_parallel:
+        import jax
+
+        from openglgaussiansplattingrenderer_tpu.parallel import (
+            data_parallel as dp,
+        )
+
+        ndev = args.data_parallel
+        if ndev > len(jax.devices()):
+            print(f"FATAL: --data-parallel {ndev} > "
+                  f"{len(jax.devices())} devices", file=sys.stderr)
+            sys.exit(1)
+        fitted, hist = dp.fit_scene_dp(
+            start, targets, cams, cfg, tc, mesh=dp.make_mesh(ndev),
+            width=args.width, height=args.height, log_every=args.log_every)
+        out_params = {k: np.asarray(v) for k, v in fitted.items()}
+        fitted_render = fitted
     else:
         fitted, hist = fit_scene(start, targets, cams, cfg, tc,
                                  log_every=args.log_every)
