@@ -1,0 +1,166 @@
+"""2-D (view x splat) mesh training on the virtual CPU mesh.
+
+The gate, composing the two 1-D gates: a 2-D step over a batch of B views
+with splat-sharded rendering must equal B sequential single-device fast-path
+gradient evaluations averaged into one optimizer update. The view axis must
+not change the mathematics (data_parallel's gate) and the splat axis must
+not either (fast_sharded's gate) -- together, neither may.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from openglgaussiansplattingrenderer_tpu.camera import Camera
+from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+from openglgaussiansplattingrenderer_tpu.ops.fastpath import render_fast
+from openglgaussiansplattingrenderer_tpu.parallel import mesh2d
+from openglgaussiansplattingrenderer_tpu.parallel.sharded import (
+    pad_scene_for_mesh,
+)
+from openglgaussiansplattingrenderer_tpu.train.trainer import (
+    TrainConfig,
+    camera_bundles,
+    make_optimizer,
+    params_from_raw,
+    raw_from_params,
+)
+
+W = H = 32
+CFG = RenderConfig(grid_x=2, grid_y=2, chunk=32, dup_capacity_factor=8.0,
+                   max_per_tile=256)
+TC = TrainConfig()
+
+
+def _setup(n=48, n_views=4, seed=7):
+    scene = ply_io.make_synthetic_scene(n, seed=seed, extent=1.5)
+    params = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    params = pad_scene_for_mesh(params, 4)
+    raw = raw_from_params(params)
+    cams = [Camera(0.4 * i - 0.6, 0.2, -4.0 - 0.3 * i, width=W, height=H)
+            for i in range(n_views)]
+    bundles = camera_bundles(cams)
+    rng = np.random.default_rng(seed + 1)
+    targets = [rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+               for _ in range(n_views)]
+    return raw, targets, bundles
+
+
+def _stack_args(targets, bundles, cfg):
+    tgt = jnp.stack([jnp.asarray(mesh2d.tile_target(t, W, H, cfg)[0])
+                     for t in targets])
+    view = jnp.stack([b[0] for b in bundles])
+    vp = jnp.stack([b[1] for b in bundles])
+    sc = [jnp.stack([jnp.asarray(b[i], jnp.float32) for b in bundles])
+          for i in (2, 3, 4, 5)]
+    return (tgt, view, vp, *sc)
+
+
+def _reference_update(raw, targets, bundles, param_keys):
+    """B sequential single-device fast-path grads -> mean -> one update."""
+    def loss_of(raw, target, b):
+        img, _ = render_fast(params_from_raw(raw), *b, W, H, CFG)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    grads = None
+    loss_sum = 0.0
+    for t, b in zip(targets, bundles):
+        l, g = jax.value_and_grad(loss_of)(raw, jnp.asarray(t), b)
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+        loss_sum += float(l)
+    grads = jax.tree_util.tree_map(lambda x: x / len(targets), grads)
+    optimizer = make_optimizer(TC, keys=param_keys)
+    opt_state = optimizer.init(raw)
+    updates, opt_state = optimizer.update(grads, opt_state, raw)
+    return optax.apply_updates(raw, updates), loss_sum / len(targets)
+
+
+def test_tile_target_roundtrip():
+    """tile_target's layout must invert assemble_image's exactly."""
+    rng = np.random.default_rng(0)
+    target = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    tiles, mask = mesh2d.tile_target(target, W, H, CFG)
+    gx, gy = CFG.grid_x, CFG.grid_y
+    ph, pw = H // gy, W // gx
+    back = (tiles.reshape(gy, gx, ph, pw, 3)
+            .transpose(0, 2, 1, 3, 4).reshape(H, W, 3))
+    np.testing.assert_array_equal(back, target)
+    np.testing.assert_array_equal(mask, np.ones((gy * gx, ph * pw)))
+
+
+@pytest.mark.parametrize("dv,ds,batch", [(2, 4, 2)])
+def test_2d_step_matches_sequential_mean(dv, ds, batch):
+    raw, targets, bundles = _setup(n_views=batch)
+    keys = tuple(sorted(raw.keys()))
+    mesh = mesh2d.make_mesh2d(dv, ds)
+    step = mesh2d.make_2d_train_step(CFG, TC, W, H, mesh, batch=batch,
+                                     param_keys=keys)
+    raw_sharded = mesh2d.shard_raw_2d(raw, mesh)
+    opt_state = step.init(raw_sharded)
+    args = _stack_args(targets, bundles, CFG)
+    raw_2d, _, loss_2d, psnr, over = step(raw_sharded, opt_state, *args)
+
+    assert int(over) == 0
+    assert np.isfinite(float(psnr))
+    raw_ref, loss_ref = _reference_update(raw, targets, bundles, keys)
+    assert abs(float(loss_2d) - loss_ref) < 1e-5
+    for k in raw_ref:
+        np.testing.assert_allclose(
+            np.asarray(raw_2d[k]), np.asarray(raw_ref[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"2d update mismatch for {k}")
+
+
+@pytest.mark.slow
+def test_2d_step_multi_view_per_row():
+    """batch > dv: each view-row renders batch//dv views sequentially."""
+    dv, ds, batch = 2, 4, 4
+    raw, targets, bundles = _setup(n_views=batch)
+    keys = tuple(sorted(raw.keys()))
+    mesh = mesh2d.make_mesh2d(dv, ds)
+    step = mesh2d.make_2d_train_step(CFG, TC, W, H, mesh, batch=batch,
+                                     param_keys=keys)
+    raw_sharded = mesh2d.shard_raw_2d(raw, mesh)
+    opt_state = step.init(raw_sharded)
+    args = _stack_args(targets, bundles, CFG)
+    raw_2d, _, loss_2d, _, over = step(raw_sharded, opt_state, *args)
+
+    assert int(over) == 0
+    raw_ref, loss_ref = _reference_update(raw, targets, bundles, keys)
+    assert abs(float(loss_2d) - loss_ref) < 1e-5
+    for k in raw_ref:
+        np.testing.assert_allclose(
+            np.asarray(raw_2d[k]), np.asarray(raw_ref[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"2d update mismatch for {k}")
+
+
+def test_2d_loss_decreases_over_steps():
+    """A few 2-D steps on consistent targets reduce the loss."""
+    dv, ds, batch = 2, 4, 2
+    raw, _, bundles = _setup(n_views=batch, seed=11)
+    # render the initial scene as the target of a slightly perturbed start
+    targets = []
+    for b in bundles:
+        img, _ = render_fast(params_from_raw(raw), *b, W, H, CFG)
+        targets.append(np.asarray(img[..., :3]))
+    key = jax.random.PRNGKey(0)
+    raw = dict(raw)
+    # colors live in 0..255 units (ref Splats.cpp:295): perturb visibly
+    raw["colors"] = raw["colors"] + 60.0 * jax.random.normal(
+        key, raw["colors"].shape)
+
+    keys = tuple(sorted(raw.keys()))
+    mesh = mesh2d.make_mesh2d(dv, ds)
+    step = mesh2d.make_2d_train_step(CFG, TC, W, H, mesh, batch=batch,
+                                     param_keys=keys)
+    raw_s = mesh2d.shard_raw_2d(raw, mesh)
+    opt_state = step.init(raw_s)
+    args = _stack_args(targets, bundles, CFG)
+    losses = []
+    for _ in range(15):
+        raw_s, opt_state, loss, _, _ = step(raw_s, opt_state, *args)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
