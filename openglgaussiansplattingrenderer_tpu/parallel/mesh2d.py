@@ -55,7 +55,7 @@ VIEW_AXIS = "view"
 SPLAT_AXIS = "splat"
 
 __all__ = ["make_mesh2d", "tile_target", "shard_raw_2d",
-           "make_2d_train_step", "VIEW_AXIS", "SPLAT_AXIS"]
+           "make_2d_train_step", "fit_scene_2d", "VIEW_AXIS", "SPLAT_AXIS"]
 
 
 def make_mesh2d(dv: int, ds: int) -> Mesh:
@@ -189,3 +189,74 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
 
     step.init = lambda raw: jax.jit(optimizer.init)(raw)
     return step
+
+
+def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
+                 tc: Optional[TrainConfig] = None, *, mesh: Mesh,
+                 batch: Optional[int] = None, width: Optional[int] = None,
+                 height: Optional[int] = None, exch_factor: float = 2.0,
+                 log_every: int = 50, verbose: bool = True):
+    """``trainer.fit_scene`` on the (view x splat) mesh.
+
+    Splat parameters are padded to the splat-axis size and sharded; each
+    optimizer step consumes ``batch`` views (default: one per view row),
+    cycling through the view list. Returns (activated params, history)
+    like ``fit_scene``; nonzero step overflow raises a warning through
+    ``fast_sharded.warn_on_sharded_overflow``.
+    """
+    from openglgaussiansplattingrenderer_tpu.parallel.fast_sharded import (
+        warn_on_sharded_overflow,
+    )
+    from openglgaussiansplattingrenderer_tpu.parallel.sharded import (
+        pad_scene_for_mesh,
+    )
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        camera_bundles,
+        camera_dims,
+        raw_from_params,
+    )
+
+    tc = tc or TrainConfig()
+    dv = mesh.shape[VIEW_AXIS]
+    ds = mesh.shape[SPLAT_AXIS]
+    batch = batch or dv
+    width = width or camera_dims(cameras[0])[0]
+    height = height or camera_dims(cameras[0])[1]
+
+    n_orig = params["means"].shape[0]
+    params = pad_scene_for_mesh(
+        {k: jnp.asarray(v) for k, v in params.items()}, ds)
+    raw = shard_raw_2d(raw_from_params(params), mesh)
+    step = make_2d_train_step(cfg, tc, width, height, mesh, batch=batch,
+                              param_keys=tuple(sorted(raw.keys())),
+                              exch_factor=exch_factor)
+    opt_state = step.init(raw)
+    bundles = camera_bundles(cameras)
+    tgt_tiles = [jnp.asarray(tile_target(t, width, height, cfg)[0])
+                 for t in targets]
+
+    history = []
+    nv = len(targets)
+    for i in range(tc.steps):
+        sel = [(i * batch + j) % nv for j in range(batch)]
+        tgt = jnp.stack([tgt_tiles[s] for s in sel])
+        bsel = [bundles[s] for s in sel]
+        view = jnp.stack([b[0] for b in bsel])
+        vp = jnp.stack([b[1] for b in bsel])
+        sc = [jnp.stack([jnp.asarray(b[j], jnp.float32) for b in bsel])
+              for j in (2, 3, 4, 5)]
+        raw, opt_state, loss, p, over = step(raw, opt_state, tgt, view, vp,
+                                             *sc)
+        if i % log_every == 0 or i == tc.steps - 1:
+            m = {"loss": float(loss), "psnr": float(p),
+                 "overflow": int(over)}
+            warn_on_sharded_overflow({"overflow": m["overflow"]},
+                                     exch_factor, ds)
+            history.append({"step": i, **m})
+            if verbose:
+                print(f"step {i}: loss {m['loss']:.5f} "
+                      f"psnr {m['psnr']:.2f} (batch {batch}, "
+                      f"mesh {dv}x{ds})")
+    fitted = params_from_raw(raw)
+    # strip the splat-axis padding (degenerate far-away splats) added above
+    return {k: v[:n_orig] for k, v in fitted.items()}, history

@@ -52,6 +52,11 @@ def main():
                     "view per device per step; params replicated, grads "
                     "pmean-synced). 0 = off; requires NDEV <= device count "
                     "and is mutually exclusive with --densify for now")
+    ap.add_argument("--mesh2d", default="", metavar="DVxDS",
+                    help="2-D mesh training, e.g. 2x4: DV view rows x DS "
+                    "splat shards (params splat-sharded, batch of DV views "
+                    "per step). Mutually exclusive with --data-parallel "
+                    "and --densify")
     ap.add_argument("--capacity", type=int, default=0,
                     help="densify capacity (0 = 4x init count)")
     ap.add_argument("--densify-interval", type=int, default=100)
@@ -89,6 +94,30 @@ def main():
               "(densification state updates are single-stream)",
               file=sys.stderr)
         sys.exit(1)
+    if args.mesh2d and (args.data_parallel or args.densify):
+        print("FATAL: --mesh2d is mutually exclusive with --data-parallel "
+              "and --densify", file=sys.stderr)
+        sys.exit(1)
+    mesh2d_dims = None
+    if args.mesh2d:
+        try:
+            dv, ds = (int(x) for x in args.mesh2d.lower().split("x"))
+            mesh2d_dims = (dv, ds)
+        except ValueError:
+            print(f"FATAL: --mesh2d wants DVxDS (e.g. 2x4), got "
+                  f"{args.mesh2d!r}", file=sys.stderr)
+            sys.exit(1)
+
+    # multi-device modes on CPU: provision virtual devices before the
+    # backend initializes (XLA_FLAGS is read lazily at CPU-client creation)
+    need_dev = max(args.data_parallel,
+                   mesh2d_dims[0] * mesh2d_dims[1] if mesh2d_dims else 0)
+    if need_dev > 1 and args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={need_dev}"
+            ).strip()
 
     if args.platform != "auto":
         import jax
@@ -221,6 +250,21 @@ def main():
             log_every=args.log_every)
         out_params = dn.compact_params(fitted, alive)
         fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
+    elif args.mesh2d:
+        import jax
+
+        from openglgaussiansplattingrenderer_tpu.parallel import mesh2d
+
+        dv, ds = mesh2d_dims
+        if dv * ds > len(jax.devices()):
+            print(f"FATAL: --mesh2d {dv}x{ds} needs {dv * ds} devices, "
+                  f"have {len(jax.devices())}", file=sys.stderr)
+            sys.exit(1)
+        fitted, hist = mesh2d.fit_scene_2d(
+            start, targets, cams, cfg, tc, mesh=mesh2d.make_mesh2d(dv, ds),
+            width=args.width, height=args.height, log_every=args.log_every)
+        out_params = {k: np.asarray(v) for k, v in fitted.items()}
+        fitted_render = fitted
     elif args.data_parallel:
         import jax
 

@@ -47,6 +47,48 @@ def test_train_cli_data_parallel(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_mesh2d(tmp_path):
+    s = ply_io.make_synthetic_scene(40, seed=9, extent=1.2)
+    s["opacities"] = np.clip(s["opacities"], 0.5, 0.9)
+    scene = str(tmp_path / "target.ply")
+    ply_io.save_ply(scene, s["means"], s["quats"], s["scales"],
+                    s["opacities"], s["colors"])
+    out_ply = str(tmp_path / "fitted.ply")
+    out_hist = str(tmp_path / "hist.json")
+    r = subprocess.run(
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
+         "--out-png", str(tmp_path / "cmp.png"), "--history", out_hist,
+         "--platform", "cpu", "--no-pallas", "--width", "64", "--height",
+         "64", "--views", "4", "--orbit-radius", "4.0", "--steps", "20",
+         "--init-count", "10", "--chunk", "32", "--capacity-factor", "32",
+         "--log-every", "10", "--mesh2d", "2x2"],
+        capture_output=True, text=True, timeout=560,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    hist = json.load(open(out_hist))
+    assert np.isfinite(hist["final_psnr_view0"])
+    # splat-axis padding must not leak into the exported PLY
+    back = ply_io.load_splats(out_ply)
+    assert back["means"].shape[0] == 10
+
+    # malformed mesh spec and composition with --densify must be refused
+    r2 = subprocess.run(
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
+         "--mesh2d", "2x2", "--densify"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r2.returncode != 0
+    assert "mutually exclusive" in r2.stderr
+    r3 = subprocess.run(
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
+         "--mesh2d", "nonsense"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r3.returncode != 0
+    assert "DVxDS" in r3.stderr
+
+
+@pytest.mark.slow
 def test_train_cli_densify_roundtrip(tmp_path):
     s = ply_io.make_synthetic_scene(40, seed=9, extent=1.2)
     s["opacities"] = np.clip(s["opacities"], 0.5, 0.9)
