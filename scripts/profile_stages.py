@@ -32,6 +32,7 @@ CHUNK = int(os.environ.get("PROF_CHUNK", "256"))
 CAP = os.environ.get("PROF_CAP")  # capacity_records override
 SCENE = os.environ.get("PROF_SCENE", "bench")
 SKIP_BWD = bool(int(os.environ.get("PROF_SKIP_BWD", "0")))
+BWD_STAGES = bool(int(os.environ.get("PROF_BWD_STAGES", "0")))
 
 
 def log(*a):
@@ -155,12 +156,59 @@ def main():
         ms_full_fb, _ = time_fn(fb, params)
         log(f"full fwd+bwd                 = {ms_full_fb:8.2f} ms")
 
+    # --- backward attribution by fwd+bwd prefix-timing --------------------
+    # grad(sum(stage_k output)) runs stages 1..k forward AND their
+    # transposes; bwd cost of stage k = (fwdbwd prefix difference) - (fwd
+    # prefix difference). "cumsum" is int-valued (no grad path), so the
+    # differentiable prefixes are prep -> expand -> sort2 -> full.
+    bwd_table = {}
+    if BWD_STAGES and not SKIP_BWD:
+        log("\n--- backward prefixes (value_and_grad of stage sums) ---")
+        bstages = ["prep", "expand", "sort2", None]
+
+        def loss_at(s):
+            def f(p):
+                out, aux = fastpath.render_fast(
+                    p, view, vp, *cam_f, WIDTH, HEIGHT, cfg, stop_after=s)
+                if s == "sort2":
+                    return sum(jnp.sum(x * x) for x in aux["fields"])
+                if s is None:
+                    return jnp.sum(out[..., :3] ** 2)
+                return jnp.sum(out * out)
+            return f
+
+        fb_prefix = {}
+        for s in bstages:
+            name = s or "full"
+            fn = jax.jit(jax.value_and_grad(loss_at(s)))
+            t0 = time.time()
+            ms, _ = time_fn(fn, params)
+            fb_prefix[name] = ms
+            log(f"fwd+bwd prefix[{name:7s}] = {ms:8.2f} ms   "
+                f"(compile+measure {time.time() - t0:.0f}s)")
+        log("\n--- backward-only stage costs "
+            "(fwd+bwd prefix diff minus fwd prefix diff) ---")
+        fwd_of = {"prep": prefix_ms.get("prep", 0.0),
+                  "expand": prefix_ms.get("expand", 0.0),
+                  "sort2": prefix_ms.get("sort2", 0.0),
+                  "full": prefix_ms.get("full", 0.0)}
+        prev_fb = prev_fw = 0.0
+        for s in bstages:
+            name = s or "full"
+            dfb = fb_prefix[name] - prev_fb
+            dfw = fwd_of[name] - prev_fw
+            prev_fb, prev_fw = fb_prefix[name], fwd_of[name]
+            bwd_table[name if s else "composite"] = round(dfb - dfw, 2)
+            log(f"{name if s else 'composite':10s} bwd {dfb - dfw:8.2f} ms "
+                f"(fwd {dfw:.2f})")
+
     print(json.dumps({
         "prefix_ms": {k: round(v, 2) for k, v in prefix_ms.items()},
         "stage_ms": table,
         "composite_fwd_ms": round(ms_fwd, 2),
         "composite_fwdbwd_ms": round(ms_fb, 2),
         "full_fwdbwd_ms": round(ms_full_fb, 2),
+        "bwd_stage_ms": bwd_table,
     }))
 
 
