@@ -144,6 +144,18 @@ class RenderConfig:
     # renderers; scenes trained with it need it on to render correctly.
     antialiased: bool = False
 
+    def __post_init__(self):
+        # Typos like "Radix"/"radix " would silently fall back to the other
+        # engine at plain equality checks (ops/fastpath.py) -- fail loudly.
+        if self.record_sort not in ("lax", "radix"):
+            raise ValueError(
+                f"record_sort must be 'lax' or 'radix', got "
+                f"{self.record_sort!r}")
+        if self.depth_key not in ("pair", "packed", "reference"):
+            raise ValueError(
+                f"depth_key must be 'pair', 'packed' or 'reference', got "
+                f"{self.depth_key!r}")
+
     @property
     def num_tiles(self) -> int:
         return self.grid_x * self.grid_y

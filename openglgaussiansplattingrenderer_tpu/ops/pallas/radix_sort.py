@@ -208,6 +208,12 @@ def radix_sort(keys: jnp.ndarray, values: Tuple[jnp.ndarray, ...] = (),
     Returns (sorted_keys uint32, tuple of sorted value arrays). Exact and
     stable: equal keys keep their input order (verified against
     ``lax.sort`` in tests/test_radix_sort.py).
+
+    Size ceiling: the scatter phase scalar-prefetches its (n_chunks+1)*16
+    int32 offset table into SMEM, which is small (order 1 MB, partly
+    reserved by Mosaic). The largest hardware-validated size is 2M keys
+    (262 KB table, scripts/radix_sort_bench.py); above ~300 KB we raise a
+    clear error instead of surfacing a Mosaic allocation failure.
     """
     if keys.dtype not in (jnp.uint32, jnp.int32):
         raise ValueError(f"radix_sort keys must be (u)int32, got {keys.dtype}")
@@ -215,6 +221,12 @@ def radix_sort(keys: jnp.ndarray, values: Tuple[jnp.ndarray, ...] = (),
     c = keys.shape[0]
     n_passes = -(-key_bits // BITS)
     c_pad = round_up(max(c, HC * R), HC * R)
+    if (c_pad // R + 1) * K * 4 > 300 * 1024:
+        raise ValueError(
+            f"radix_sort: {c} keys needs a {(c_pad // R + 1) * K * 4 // 1024}"
+            " KB SMEM offset table, past the hardware-validated ceiling "
+            "(2M keys / 262 KB); use lax.sort at this scale (it is faster "
+            "there anyway, RESULTS.md)")
     f = len(values)
     nr = round_up(f + 2, 8)
     hi_row, lo_row = f, f + 1

@@ -220,11 +220,19 @@ def camera_bundles(cameras):
 def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
               cfg: RenderConfig, tc: Optional[TrainConfig] = None,
               width: Optional[int] = None, height: Optional[int] = None,
-              log_every: int = 50, verbose: bool = True):
+              log_every: int = 50, verbose: bool = True,
+              save_every: int = 0, checkpoint_path: Optional[str] = None,
+              resume: Optional[str] = None):
     """Fit splat parameters to (target image, camera) pairs.
 
     targets: list of (H, W, 3) arrays; cameras: list of Camera. Returns
     (activated params, history).
+
+    ``save_every``/``checkpoint_path`` write a full-state npz (raw params +
+    optimizer moments + step) every N steps; ``resume`` restores one and
+    continues from its step -- the resumed run replays the exact step
+    sequence, so it matches an uninterrupted run bit-for-bit
+    (tests/test_train_cli.py kill-and-resume test).
     """
     tc = tc or TrainConfig()
     width = width or camera_dims(cameras[0])[0]
@@ -233,11 +241,20 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     step = make_train_step(cfg, tc, width, height,
                            param_keys=tuple(sorted(raw.keys())))
     state = step.init(raw)
+    start_step = 0
+    if resume:
+        r_raw, start_step, extras = load_checkpoint_full(resume)
+        opt = (restore_opt_state(state.opt_state, extras["opt_leaves"])
+               if "opt_leaves" in extras else state.opt_state)
+        state = TrainState({k: jnp.asarray(v) for k, v in r_raw.items()},
+                           opt, start_step)
+        if verbose:
+            print(f"resumed {resume} at step {start_step}")
     cam_bundles = camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
 
     history = []
-    for i in range(tc.steps):
+    for i in range(start_step, tc.steps):
         j = i % len(targets)
         state, metrics = step(state, targets[j], *cam_bundles[j])
         if (i % log_every == 0 or i == tc.steps - 1):
@@ -245,18 +262,53 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
             history.append({"step": i, **m})
             if verbose:
                 print(f"step {i}: loss {m['loss']:.5f} psnr {m['psnr']:.2f}")
+        if (save_every and checkpoint_path
+                and ((i + 1) % save_every == 0 or i == tc.steps - 1)):
+            save_checkpoint(checkpoint_path, state.raw, step=i + 1,
+                            opt_state=state.opt_state)
     return params_from_raw(state.raw), history
 
 
 def save_checkpoint(path: str, raw: Dict[str, jnp.ndarray], step: int = 0,
-                    **extras) -> None:
+                    opt_state=None, **extras) -> None:
     """npz pytree checkpoint. ``extras`` holds any additional arrays --
     e.g. adaptive-density state (``alive``, ``grad_accum``, ``seen_count``)
     -- namespaced with an ``x_`` prefix so they never collide with
-    parameter names."""
-    np.savez(path, step=step,
+    parameter names. ``opt_state`` (any optax state pytree) is flattened
+    to leaves ``o_<i>``; restore with ``restore_opt_state`` against a
+    freshly-initialised state of the same optimizer.
+
+    Written atomically (tmp file + rename) so a kill mid-save never leaves
+    a truncated checkpoint behind.
+    """
+    opt = {}
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        opt = {f"o_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    import os
+
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to other suffixes anyway
+    np.savez(tmp, step=step,
              **{k: np.asarray(v) for k, v in raw.items()},
+             **opt,
              **{f"x_{k}": np.asarray(v) for k, v in extras.items()})
+    os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
+
+
+def restore_opt_state(template, opt_leaves):
+    """Rebuild an optax state from checkpointed leaves: ``template`` is
+    ``optimizer.init(raw)`` for the SAME optimizer config; the leaves were
+    saved in ``jax.tree_util.tree_leaves`` order."""
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(t_leaves) != len(opt_leaves):
+        raise ValueError(
+            f"checkpointed optimizer state has {len(opt_leaves)} leaves, "
+            f"this optimizer wants {len(t_leaves)} -- was it saved with a "
+            "different optimizer config or parameter set?")
+    leaves = [jnp.asarray(v, t.dtype).reshape(jnp.shape(t))
+              for v, t in zip(opt_leaves, t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], int]:
@@ -270,9 +322,19 @@ def load_checkpoint_full(
     path: str,
 ) -> Tuple[Dict[str, np.ndarray], int, Dict[str, np.ndarray]]:
     """Returns (raw params, step, extras) -- extras as saved via
-    ``save_checkpoint(..., name=array)``, prefix stripped."""
+    ``save_checkpoint(..., name=array)``, prefix stripped. Checkpointed
+    optimizer leaves (``o_<i>``) land in extras as ``opt_leaves`` (a list
+    in saved order) for ``restore_opt_state``."""
+    import os
+
+    if not path.endswith(".npz") and not os.path.exists(path):
+        path = path + ".npz"
     z = np.load(path)
     raw = {k: z[k] for k in z.files
-           if k != "step" and not k.startswith("x_")}
+           if k != "step" and not k.startswith(("x_", "o_"))}
     extras = {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+    okeys = sorted((k for k in z.files if k.startswith("o_")),
+                   key=lambda k: int(k[2:]))
+    if okeys:
+        extras["opt_leaves"] = [z[k] for k in okeys]
     return raw, int(z["step"]), extras

@@ -7,9 +7,19 @@ this serves the same loop to a browser: an HTML page captures key presses
 and fetches re-rendered PNG frames; the server applies the reference's exact
 movement steps (0.1 units, 1 degree) to the same Camera.
 
+Two modes:
+
+- ``/`` — request-response: one PNG per key press (round-2 behaviour).
+- ``/live`` — the reference's continuous render loop: ``/stream`` serves a
+  multipart/x-mixed-replace (MJPEG) stream that re-renders continuously;
+  key presses land via ``/key`` and take effect on the next frame; the
+  server measures real delivered fps (EWMA over frame gaps, the analogue
+  of the reference's per-frame ``GL_TIMESTAMP`` prints, main.cpp:60-77)
+  and reports it at ``/stats`` and in the page overlay.
+
 Usage:
     python -m openglgaussiansplattingrenderer_tpu.viewer.interactive scene.ply
-then open http://localhost:8000/.
+then open http://localhost:8000/ (or /live for the streamed mode).
 """
 
 from __future__ import annotations
@@ -53,12 +63,42 @@ document.addEventListener('keydown', (e) => {
 frame();
 </script></body></html>"""
 
+LIVE_PAGE = b"""<!doctype html>
+<html><head><title>gsplat-tpu live viewer</title><style>
+body { background:#111; color:#ccc; font-family:monospace; text-align:center }
+img { image-rendering:pixelated; border:1px solid #333 }
+</style></head><body>
+<h3>gsplat-tpu live viewer (streamed)</h3>
+<div>WASD move &middot; space/shift up/down &middot; arrows rotate &middot;
+measured fps + stats below</div>
+<img id="v" src="/stream" width="75%">
+<pre id="s"></pre>
+<script>
+document.addEventListener('keydown', (e) => {
+  const map = {'w':'w','a':'a','s':'s','d':'d',' ':'space','Shift':'shift',
+               'ArrowLeft':'left','ArrowRight':'right','ArrowUp':'up',
+               'ArrowDown':'down'};
+  if (map[e.key] !== undefined) {
+    e.preventDefault(); fetch('/key?key=' + map[e.key]);
+  }
+});
+setInterval(async () => {
+  const r = await fetch('/stats');
+  document.getElementById('s').textContent =
+      JSON.stringify(await r.json());
+}, 500);
+</script></body></html>"""
+
 
 class ViewerState:
     def __init__(self, splats, camera):
         self.splats = splats
         self.camera = camera
         self.lock = threading.Lock()
+        self.pending: list = []        # queued /key presses for the stream
+        self.stream_fps = 0.0          # EWMA of delivered stream frame rate
+        self.stream_frames = 0
+        self.last_stats_json: dict = {}
 
     def apply_key(self, key: Optional[str]) -> None:
         """Reference key handling (Camera::getInput, Camera.cpp:77-119)."""
@@ -105,20 +145,64 @@ class ViewerState:
             stats["pos"] = [round(float(v), 3) for v in self.camera.position]
             stats["rot"] = [round(float(v), 1) for v in self.camera.rotation]
 
+        return _encode(img, "PNG"), stats
+
+    def render_stream_frame(self):
+        """One frame of the continuous loop: apply queued keys, render,
+        JPEG-encode (falls back to PNG without PIL). Returns
+        (bytes, content_type)."""
+        import time
+
+        with self.lock:
+            keys, self.pending = self.pending, []
+            for k in keys:
+                self.apply_key(k)
+            img = self.splats.render_camera(self.camera)
+            np.asarray(img)  # fence the device fetch inside the timing
+            # delivered fps = gap between consecutive frames (render +
+            # encode + socket write of the previous one) -- what the
+            # browser actually sees
+            now = time.perf_counter()
+            last = getattr(self, "_last_frame_t", None)
+            self._last_frame_t = now
+            self.stream_frames += 1
+            if last is not None:
+                inst = 1.0 / max(now - last, 1e-6)
+                self.stream_fps = (inst if self.stream_frames == 2
+                                   else 0.9 * self.stream_fps + 0.1 * inst)
+            stats = {k: np.asarray(v).tolist()
+                     for k, v in (self.splats.last_stats or {}).items()}
+            stats["pos"] = [round(float(v), 3)
+                            for v in self.camera.position]
+            stats["stream_fps"] = round(self.stream_fps, 2)
+            stats["stream_frames"] = self.stream_frames
+            self.last_stats_json = stats
         try:
-            from PIL import Image
+            from PIL import Image  # noqa: F401
 
-            buf = io.BytesIO()
-            Image.fromarray(to_uint8(np.asarray(img)[..., :3])).save(buf, "PNG")
-            return buf.getvalue(), stats
+            return _encode(img, "JPEG"), "image/jpeg"
         except ImportError:  # pragma: no cover
-            import tempfile
+            return _encode(img, "PNG"), "image/png"
 
-            from openglgaussiansplattingrenderer_tpu.io.png import save_png
 
-            with tempfile.NamedTemporaryFile(suffix=".png") as f:
-                save_png(f.name, np.asarray(img)[..., :3])
-                return open(f.name, "rb").read(), stats
+def _encode(img, fmt: str) -> bytes:
+    from openglgaussiansplattingrenderer_tpu.io.png import to_uint8
+
+    arr = to_uint8(np.asarray(img)[..., :3])
+    try:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, fmt)
+        return buf.getvalue()
+    except ImportError:  # pragma: no cover
+        import tempfile
+
+        from openglgaussiansplattingrenderer_tpu.io.png import save_png
+
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            save_png(f.name, arr)
+            return open(f.name, "rb").read()
 
 
 def make_server(splats, camera, port: int = 8000) -> ThreadingHTTPServer:
@@ -143,6 +227,47 @@ def make_server(splats, camera, port: int = 8000) -> ThreadingHTTPServer:
                 self.send_header("X-Stats", json.dumps(stats))
                 self.end_headers()
                 self.wfile.write(png)
+            elif url.path == "/live":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(LIVE_PAGE)
+            elif url.path == "/key":
+                key = parse_qs(url.query).get("key", [None])[0]
+                if key:
+                    with state.lock:
+                        state.pending.append(key)
+                self.send_response(204)
+                self.end_headers()
+            elif url.path == "/stats":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(state.last_stats_json).encode())
+            elif url.path == "/stream":
+                # continuous multipart/x-mixed-replace render loop -- the
+                # reference's while(!glfwWindowShouldClose) frame loop
+                # (main.cpp:52-89), ended by the client disconnecting
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=gsframe")
+                self.end_headers()
+                max_frames = getattr(server, "stream_max_frames", None)
+                n = 0
+                try:
+                    while max_frames is None or n < max_frames:
+                        frame, ctype = state.render_stream_frame()
+                        self.wfile.write(b"--gsframe\r\n")
+                        self.wfile.write(
+                            f"Content-Type: {ctype}\r\n"
+                            f"Content-Length: {len(frame)}\r\n\r\n"
+                            .encode())
+                        self.wfile.write(frame)
+                        self.wfile.write(b"\r\n")
+                        n += 1
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
             else:
                 self.send_response(404)
                 self.end_headers()
@@ -161,6 +286,8 @@ def main():  # pragma: no cover
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu"])
+    ap.add_argument("--no-autotune", action="store_true",
+                    help="skip the startup capacity autotune probe")
     args = ap.parse_args()
     if args.platform != "auto":
         import jax
@@ -172,9 +299,13 @@ def main():  # pragma: no cover
 
     splats = Splats(args.scene, args.width, args.height)
     cam = default_camera(args.width, args.height)
+    if not args.no_autotune:
+        # pin record capacity to the start pose's measured count (+margin);
+        # a camera move that overflows it shows up in stats["overflow"]
+        splats.autotune_capacity(cam)
     server = make_server(splats, cam, args.port)
     print(f"viewing {args.scene} at http://localhost:{args.port}/ "
-          "(WASD/space/shift move, arrows rotate, C = golden render)")
+          "(request-response; /live streams continuously with measured fps)")
     server.serve_forever()
 
 

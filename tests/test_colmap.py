@@ -381,3 +381,91 @@ def test_train_cli_distorted_colmap_end_to_end(tmp_path):
 
     hist = json.loads((tmp_path / "hist.json").read_text())["history"]
     assert hist[-1]["loss"] < hist[0]["loss"], hist
+
+
+def test_parse_foreign_colmap_bytes(tmp_path):
+    """Parse a COLMAP binary model this repo's writers did NOT produce.
+
+    The bytes are hand-packed here, field by field, straight from the
+    published format (colmap/scripts/python/read_write_model.py:
+    write_cameras_binary / write_images_binary / write_points3D_binary):
+    little-endian, no padding; images carry their 2D point lists, points
+    carry their tracks -- both of which this repo's own writers never emit
+    (they write empty lists), so a shared format misunderstanding between
+    our reader and writer cannot make this test pass.
+    """
+    import struct
+
+    sp = tmp_path / "sparse" / "0"
+    sp.mkdir(parents=True)
+
+    # cameras.bin: one SIMPLE_RADIAL (model_id 2: f, cx, cy, k)
+    with open(sp / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 1))            # camera_id
+        f.write(struct.pack("<i", 2))            # SIMPLE_RADIAL
+        f.write(struct.pack("<Q", 640))          # width
+        f.write(struct.pack("<Q", 480))          # height
+        for p in (525.5, 320.0, 240.0, -0.071):
+            f.write(struct.pack("<d", p))
+
+    # images.bin: two registered images with non-empty point2D lists
+    qvecs = [(1.0, 0.0, 0.0, 0.0),
+             (0.9961946980917455, 0.08715574274765817, 0.0, 0.0)]  # 10 deg
+    tvecs = [(0.1, -0.2, 2.5), (-0.3, 0.05, 2.4)]
+    with open(sp / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i, (q, t) in enumerate(zip(qvecs, tvecs)):
+            f.write(struct.pack("<i", 7 + i))    # image_id (non-contiguous)
+            f.write(struct.pack("<dddd", *q))
+            f.write(struct.pack("<ddd", *t))
+            f.write(struct.pack("<i", 1))        # camera_id
+            f.write(f"frame_{i:04d}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 3))        # num_points2D
+            for j in range(3):
+                f.write(struct.pack("<dd", 10.0 * j, 20.0 * j))
+                f.write(struct.pack("<q", j if j < 2 else -1))  # point3D_id
+
+    # points3D.bin: two points with tracks
+    pts = [((1.25, -0.5, 3.0), (200, 10, 30), 0.81),
+           ((-0.75, 0.25, 2.0), (15, 250, 120), 1.5)]
+    with open(sp / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for pid, (xyz, rgb, err) in enumerate(pts):
+            f.write(struct.pack("<q", 100 + pid))
+            f.write(struct.pack("<ddd", *xyz))
+            f.write(struct.pack("<BBB", *rgb))
+            f.write(struct.pack("<d", err))
+            f.write(struct.pack("<Q", 2))        # track length
+            for im, p2 in ((7, 0), (8, 1)):
+                f.write(struct.pack("<ii", im, p2))
+
+    cams = cm.read_cameras_bin(str(sp / "cameras.bin"))
+    assert set(cams) == {1}
+    assert cams[1]["model"] == "SIMPLE_RADIAL"
+    assert (cams[1]["width"], cams[1]["height"]) == (640, 480)
+    np.testing.assert_allclose(cams[1]["params"],
+                               [525.5, 320.0, 240.0, -0.071])
+
+    imgs = cm.read_images_bin(str(sp / "images.bin"))
+    assert [im["image_id"] for im in imgs] == [7, 8]
+    assert [im["name"] for im in imgs] == ["frame_0000.png",
+                                           "frame_0001.png"]
+    np.testing.assert_allclose(imgs[1]["qvec"], qvecs[1])
+    np.testing.assert_allclose(imgs[0]["tvec"], tvecs[0])
+    assert all(im["camera_id"] == 1 for im in imgs)
+
+    xyz, rgb, err = cm.read_points3d_bin(str(sp / "points3D.bin"))
+    np.testing.assert_allclose(xyz, [p[0] for p in pts])
+    np.testing.assert_array_equal(rgb, [p[1] for p in pts])
+    np.testing.assert_allclose(err, [p[2] for p in pts])
+
+    # the parsed model flows into a render-ready bundle (pose conversion)
+    b = cm.bundle_from_colmap_pose(imgs[1]["qvec"], imgs[1]["tvec"], cams[1])
+    assert b["view"].shape == (4, 4)
+    # COLMAP's qvec/tvec IS world->camera; row-major R must match the
+    # 10-degree x-rotation we packed
+    c, s = np.cos(np.deg2rad(10)), np.sin(np.deg2rad(10))
+    r_expect = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    np.testing.assert_allclose(cm.qvec2rotmat(imgs[1]["qvec"]), r_expect,
+                               atol=1e-12)

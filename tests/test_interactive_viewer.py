@@ -66,3 +66,38 @@ def test_golden_key(server):
     png, headers = _get(srv, "/frame?key=c")
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     assert json.loads(headers["X-Stats"])["path"] == "golden"
+
+
+def test_live_stream_delivers_frames_and_fps(server):
+    """/stream is a continuous multipart/x-mixed-replace loop: queued /key
+    presses apply between frames and the server measures delivered fps."""
+    srv, cam = server
+    srv.stream_max_frames = 4      # test hook: bounded stream
+    _get(srv, "/key?key=w")        # queued before the stream starts
+
+    body, headers = _get(srv, "/stream")
+    assert "multipart/x-mixed-replace" in headers["Content-Type"]
+    parts = body.split(b"--gsframe\r\n")
+    frames = [p for p in parts if p.strip()]
+    assert len(frames) == 4
+    for p in frames:
+        head, _, payload = p.partition(b"\r\n\r\n")
+        assert (b"image/jpeg" in head) or (b"image/png" in head)
+        magic_ok = (payload[:2] == b"\xff\xd8"          # JPEG SOI
+                    or payload[:8] == b"\x89PNG\r\n\x1a\n")
+        assert magic_ok, head
+
+    # the queued W applied on the first streamed frame
+    np.testing.assert_allclose(cam.position, [0.0, 0.0, -3.9], atol=1e-6)
+
+    stats_body, _ = _get(srv, "/stats")
+    stats = json.loads(stats_body)
+    assert stats["stream_frames"] == 4
+    assert stats["stream_fps"] > 0
+    assert "num_records" in stats
+
+
+def test_live_page(server):
+    srv, _ = server
+    body, _ = _get(srv, "/live")
+    assert b"/stream" in body and b"keydown" in body

@@ -148,3 +148,41 @@ def test_position_lr_decay_schedule():
     assert steps_means[-1] < 3e-4, steps_means[-1]
     # colors LR is constant: step magnitude unchanged
     assert abs(steps_colors[-1] - steps_colors[1]) < 1e-4
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """A run checkpointed at step K and resumed from that file replays the
+    uninterrupted run exactly (params + optimizer moments round-trip)."""
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    cam = Camera(0.0, 0.0, -4.0, width=w, height=h)
+    clean = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    target, _ = render_stats(clean, cam, CFG)
+    target = np.asarray(target[..., :3])
+
+    start = dict(scene)
+    start["colors"] = np.clip(scene["colors"] + 30.0, 0, 255)
+    start = {k: jnp.asarray(v) for k, v in start.items() if k != "sh_rest"}
+    tc = TrainConfig(steps=8, lambda_dssim=0.0)
+    ckpt = str(tmp_path / "fit.ckpt.npz")
+
+    # uninterrupted run (also writes checkpoints, exercising save_every)
+    ref, _ = fit_scene(start, [target], [cam], CFG, tc, verbose=False,
+                       save_every=4, checkpoint_path=ckpt)
+    # the "kill": re-load the step-4 snapshot and replay steps 4..8
+    mid = str(tmp_path / "mid.ckpt.npz")
+    _, step8, extras8 = trainer.load_checkpoint_full(ckpt)
+    assert step8 == 8 and "opt_leaves" in extras8
+    # final checkpoint is step 8; re-create the step-4 one by a fresh
+    # truncated run with the same save cadence
+    tc4 = TrainConfig(steps=4, lambda_dssim=0.0)
+    fit_scene(start, [target], [cam], CFG, tc4, verbose=False,
+              save_every=4, checkpoint_path=mid)
+    _, s4 = trainer.load_checkpoint(mid)
+    assert s4 == 4
+    resumed, _ = fit_scene(start, [target], [cam], CFG, tc, verbose=False,
+                           resume=mid)
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(resumed[k]),
+            err_msg=f"resume diverged on {k}")
