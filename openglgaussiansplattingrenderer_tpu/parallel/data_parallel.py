@@ -64,7 +64,7 @@ def stack_view_batch(targets, bundles) -> Tuple[jnp.ndarray, ...]:
     return (t, view, vp, *sc)
 
 
-def replicate_tree(tree, mesh, axis: str = AXIS):
+def replicate_tree(tree, mesh):
     """Place a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
@@ -90,7 +90,10 @@ def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     ``with_grad_norms``, the per-splat screen-space densification statistic
     (see trainer.make_train_step) is SUMMED over the batch's views --
     one dp step counts as ``batch`` view-iterations toward the
-    densification accumulators, exactly like ``batch`` sequential steps.
+    densification accumulators, exactly like ``batch`` sequential steps --
+    and a matching ``seen`` count (in how many of the batch's views each
+    splat was visible) is returned alongside, so adaptive density control
+    normalises by view-iterations exactly as the sequential loop does.
     """
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     if batch % ndev:
@@ -113,6 +116,7 @@ def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
         n = raw["means"].shape[0]
         grads = None
         gnorm = jnp.zeros((n,), jnp.float32)
+        seen = jnp.zeros((n,), jnp.float32)
         loss_acc = 0.0
         psnr_acc = 0.0
         for j in range(local_bs):
@@ -121,8 +125,10 @@ def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                 shift = jnp.zeros((n, 2), jnp.float32)
                 (loss, pred), (g, gshift) = jax.value_and_grad(
                     loss_of, argnums=(0, 1), has_aux=True)(raw, shift, *args)
-                gnorm = gnorm + jnp.linalg.norm(
+                nrm = jnp.linalg.norm(
                     gshift * jnp.array([width / 2.0, height / 2.0]), axis=-1)
+                gnorm = gnorm + nrm
+                seen = seen + (nrm > 0.0)
             else:
                 (loss, pred), g = jax.value_and_grad(
                     loss_of, has_aux=True)(raw, None, *args)
@@ -139,13 +145,15 @@ def make_dp_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
         raw = optax.apply_updates(raw, updates)
         if with_grad_norms:
             # densification statistic: SUM of per-view norms (batch view-
-            # iterations), like sequential 3DGS accumulation
+            # iterations), like sequential 3DGS accumulation; seen = in how
+            # many views this splat contributed pixels
             gnorm = jax.lax.psum(gnorm, axis)
-            return raw, opt_state, loss_m, psnr_m, gnorm
+            seen = jax.lax.psum(seen, axis)
+            return raw, opt_state, loss_m, psnr_m, gnorm, seen
         return raw, opt_state, loss_m, psnr_m
 
     rep, shd = P(), P(axis)
-    n_out = 5 if with_grad_norms else 4
+    n_out = 6 if with_grad_norms else 4
     step = jax.jit(shard_map(
         body, mesh,
         in_specs=(rep, rep, shd, shd, shd, shd, shd, shd, shd),
@@ -159,6 +167,7 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
                  cfg: RenderConfig, tc: Optional[TrainConfig] = None,
                  *, mesh=None, batch: Optional[int] = None,
                  width: Optional[int] = None, height: Optional[int] = None,
+                 dc=None, seed: int = 0,
                  log_every: int = 50, verbose: bool = True):
     """``trainer.fit_scene`` with view-parallel batching.
 
@@ -166,6 +175,17 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
     device), cycling through the view list; ``tc.steps`` optimizer steps
     therefore see ``steps * batch`` view-iterations. Returns (activated
     params, history) like ``fit_scene``.
+
+    ``dc`` (a ``train.densify.DensifyConfig``) composes adaptive density
+    control with the view-parallel axis: parameters are padded to
+    ``dc.capacity`` (replicated), the train step additionally returns the
+    batch-summed screen-space statistic + per-view seen counts (psum'd over
+    the mesh), and ``densify_and_prune`` runs as the identical single-stream
+    program on the replicated state every ``dc.interval`` optimizer steps --
+    a batch-B interval therefore spans B x interval view-iterations. A
+    dp+ADC run on D devices equals the same run on 1 device to float
+    tolerance (tests/test_data_parallel.py). With ``dc`` the return is
+    (params at capacity, alive mask, history) like ``fit_scene_adaptive``.
     """
     from openglgaussiansplattingrenderer_tpu.train.trainer import (
         camera_bundles,
@@ -180,9 +200,19 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
     width = width or camera_dims(cameras[0])[0]
     height = height or camera_dims(cameras[0])[1]
 
-    raw = replicate_tree(raw_from_params(params), mesh)
+    raw = raw_from_params(params)
+    alive = grad_accum = seen_count = key = None
+    if dc is not None:
+        from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+        raw, alive = dn.pad_to_capacity(raw, dc.capacity)
+        grad_accum = jnp.zeros((dc.capacity,), jnp.float32)
+        seen_count = jnp.zeros((dc.capacity,), jnp.float32)
+        key = jax.random.PRNGKey(seed)
+    raw = replicate_tree(raw, mesh)
     step = make_dp_train_step(cfg, tc, width, height, mesh, batch=batch,
-                              param_keys=tuple(sorted(raw.keys())))
+                              param_keys=tuple(sorted(raw.keys())),
+                              with_grad_norms=dc is not None)
     opt_state = step.init(raw)
     bundles = camera_bundles(cameras)
     targets = [np.asarray(t, np.float32) for t in targets]
@@ -193,11 +223,44 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
         sel = [(i * batch + j) % nv for j in range(batch)]
         args = stack_view_batch([targets[s] for s in sel],
                                 [bundles[s] for s in sel])
-        raw, opt_state, loss, p = step(raw, opt_state, *args)
+        if dc is None:
+            raw, opt_state, loss, p = step(raw, opt_state, *args)
+        else:
+            from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+            raw, opt_state, loss, p, gnorm, seen = step(
+                raw, opt_state, *args)
+            grad_accum, seen_count = dn.accumulate_grad_stats_batched(
+                grad_accum, seen_count, gnorm, seen, alive)
+            if (dc.start_step <= i < dc.stop_step and i > 0
+                    and i % dc.interval == 0):
+                key, sub = jax.random.split(key)
+                raw, alive, changed, dstats = dn.densify_and_prune(
+                    raw, alive, grad_accum, seen_count, sub, dc)
+                opt_state = dn.reset_rows(opt_state, changed)
+                # deterministic replacement: state stays mesh-replicated
+                raw = replicate_tree(raw, mesh)
+                opt_state = replicate_tree(opt_state, mesh)
+                alive = jnp.asarray(alive)
+                grad_accum = jnp.zeros_like(grad_accum)
+                seen_count = jnp.zeros_like(seen_count)
+                if verbose:
+                    d = {k: int(v) for k, v in dstats.items()}
+                    print(f"step {i}: densify {d}")
+            if (dc.opacity_reset_interval and i > 0 and i < dc.stop_step
+                    and i % dc.opacity_reset_interval == 0):
+                raw = replicate_tree(
+                    dn.reset_opacity(raw, dc.opacity_reset_ceiling), mesh)
+                opt_state = replicate_tree(
+                    dn.reset_opacity_moments(opt_state, dc.capacity), mesh)
         if i % log_every == 0 or i == tc.steps - 1:
             m = {"loss": float(loss), "psnr": float(p)}
+            if dc is not None:
+                m["alive"] = int(jnp.sum(alive))
             history.append({"step": i, **m})
             if verbose:
                 print(f"step {i}: loss {m['loss']:.5f} "
                       f"psnr {m['psnr']:.2f} (batch {batch})")
+    if dc is not None:
+        return params_from_raw(raw), alive, history
     return params_from_raw(raw), history

@@ -94,7 +94,8 @@ def shard_raw_2d(raw, mesh: Mesh):
 
 def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                        height: int, mesh: Mesh, *, batch: Optional[int] = None,
-                       param_keys=None, exch_factor: float = 2.0):
+                       param_keys=None, exch_factor: float = 2.0,
+                       with_grad_norms: bool = False):
     """Jitted train step on the (view x splat) mesh.
 
     ``batch`` views per optimizer step (default: one per view-row; must be
@@ -115,9 +116,24 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     from ``tile_target``. A nonzero ``overflow`` means records were dropped
     (exchange buckets or local capacity) -- see
     ``fast_sharded.warn_on_sharded_overflow``.
+
+    ``with_grad_norms`` appends (gnorm_sum (N,), seen (N,)) to the step
+    outputs: the screen-space densification statistic (the zero-shift
+    trick, ``trainer.make_train_step``) computed with a PER-VIEW shift
+    sharded over both axes -- per-view norms are taken before the batch
+    sum, so a batch-B step advances the densify accumulators exactly like
+    B sequential view-iterations.
     """
     dv = mesh.shape[VIEW_AXIS]
     ds = mesh.shape[SPLAT_AXIS]
+    if tc.lambda_dssim:
+        import warnings
+
+        warnings.warn(
+            "mesh2d training ignores lambda_dssim: D-SSIM is a windowed "
+            "cross-tile stencil; the 2-D mesh loss is per-owned-tile MSE "
+            "only (use the single-chip or data-parallel paths for D-SSIM)",
+            stacklevel=2)
     batch = batch or dv
     if batch % dv:
         raise ValueError(f"batch {batch} not a multiple of view rows {dv}")
@@ -133,9 +149,11 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     npix_valid = float(mask_np.sum())
     bg = np.asarray(cfg.background, np.float32)
 
-    def loss_body(raw_local, tgt, view, vp, fx, fy, tfx, tfy, mask):
-        # raw_local: (n/ds, ...) leaves; tgt: (local_bs, T, P, 3) this row's
-        # views; mask: (T, P) replicated
+    def loss_body(raw_local, shift_local, tgt, view, vp, fx, fy, tfx, tfy,
+                  mask):
+        # raw_local: (n/ds, ...) leaves; shift_local: (local_bs, n/ds, 2)
+        # per-view zero shifts (densify statistic) or None; tgt:
+        # (local_bs, T, P, 3) this row's views; mask: (T, P) replicated
         n_local = raw_local["means"].shape[0]
         cap_exch = exchange_capacity(cfg, n_local, ds, exch_factor)
         params_local = params_from_raw(raw_local)
@@ -143,9 +161,12 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
         my_tiles = d + ds * jnp.arange(tpd, dtype=jnp.int32)
         m_own = jnp.take(mask, my_tiles, axis=0)            # (tpd, P)
 
-        se = 0.0
+        se_views = []
         over = jnp.int32(0)
         for j in range(local_bs):
+            if shift_local is not None:
+                params_local = dict(params_local,
+                                    shift2d=shift_local[j])
             tiled, ov, _, _ = _fast_shard_fn(
                 params_local, view[j], vp[j], fx[j], fy[j], tfx[j], tfy[j],
                 width=width, height=height, cfg=cfg, axis=SPLAT_AXIS,
@@ -154,47 +175,96 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
             rgb = (tiled[:, :, 0:3] / cfg.color_scale
                    + tiled[:, :, 3:4] * jnp.asarray(bg)[None, None, :])
             tgt_own = jnp.take(tgt[j], my_tiles, axis=0)    # (tpd, P, 3)
-            se = se + jnp.sum(((rgb - tgt_own) ** 2) * m_own[..., None])
+            se_views.append(
+                jnp.sum(((rgb - tgt_own) ** 2) * m_own[..., None]))
             over = over + ov[0]
         # one psum over BOTH axes -> replicated batch SSE / overflow
-        sse = jax.lax.psum(se, (VIEW_AXIS, SPLAT_AXIS))
+        se_views = jax.lax.psum(jnp.stack(se_views), SPLAT_AXIS)
+        sse = jax.lax.psum(jnp.sum(se_views), VIEW_AXIS)
         over = jax.lax.psum(over, VIEW_AXIS)  # ov already splat-psummed
         loss = sse / (batch * npix_valid * 3.0)
-        return loss, over
+        # mean of per-view PSNRs, matching fit_scene / data_parallel's
+        # history metric (NOT -10 log10 of the batch-mean MSE)
+        mse_views = jax.lax.stop_gradient(se_views) / (npix_valid * 3.0)
+        psnr = jax.lax.pmean(
+            jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse_views, 1e-12))),
+            VIEW_AXIS)
+        return loss, (over, psnr)
 
-    smapped = shard_map(
-        loss_body, mesh,
-        in_specs=(P(SPLAT_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
-                  P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS),
-                  P()),
-        out_specs=(P(), P()))
+    view_specs = (P(VIEW_AXIS),) * 7
+    if with_grad_norms:
+        smapped = shard_map(
+            loss_body, mesh,
+            in_specs=(P(SPLAT_AXIS), P(VIEW_AXIS, SPLAT_AXIS)) + view_specs
+            + (P(),),
+            out_specs=(P(), (P(), P())))
+    else:
+        smapped = shard_map(
+            lambda raw, *a: loss_body(raw, None, *a), mesh,
+            in_specs=(P(SPLAT_AXIS),) + view_specs + (P(),),
+            out_specs=(P(), (P(), P())))
 
     mask_j = jnp.asarray(mask_np)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(raw, opt_state, tgt, view, vp, fx, fy, tfx, tfy):
-        def loss_fn(raw):
-            loss, over = smapped(raw, tgt, view, vp, fx, fy, tfx, tfy,
-                                 mask_j)
-            return loss, over
-        (loss, over), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(raw)
+        if with_grad_norms:
+            n = raw["means"].shape[0]
+            shift = jnp.zeros((batch, n, 2), jnp.float32)
+
+            def loss_fn(raw, shift):
+                return smapped(raw, shift, tgt, view, vp, fx, fy, tfx,
+                               tfy, mask_j)
+
+            (loss, (over, psnr)), (grads, gshift) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(raw, shift)
+            # per-view screen-grad norms in NDC units, then the batch sum
+            # (+ seen counts) -- B view-iterations of the 3DGS statistic
+            nrm = jnp.linalg.norm(
+                gshift * jnp.array([width / 2.0, height / 2.0]), axis=-1)
+            gnorm = jnp.sum(nrm, axis=0)
+            seen = jnp.sum((nrm > 0.0).astype(jnp.float32), axis=0)
+        else:
+            def loss_fn(raw):
+                return smapped(raw, tgt, view, vp, fx, fy, tfx, tfy,
+                               mask_j)
+
+            (loss, (over, psnr)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(raw)
         # raw enters shard_map replicated over the view axis, so grads are
         # SUMMED over view rows by the transpose; the loss already divides
         # by the full batch, making this the batch-mean gradient.
         updates, opt_state = optimizer.update(grads, opt_state, raw)
         raw = jax.tree_util.tree_map(lambda a, u: a + u, raw, updates)
-        psnr = -10.0 * jnp.log10(jnp.maximum(loss, 1e-12))
+        if with_grad_norms:
+            return raw, opt_state, loss, psnr, over, gnorm, seen
         return raw, opt_state, loss, psnr, over
 
     step.init = lambda raw: jax.jit(optimizer.init)(raw)
     return step
 
 
+def _place_state_2d(opt_state, mesh: Mesh, capacity: int):
+    """Deterministically re-place an optimizer state after a densify step:
+    capacity-leading leaves P(splat)-sharded, everything else (Adam step
+    counters etc.) replicated."""
+    shd = NamedSharding(mesh, P(SPLAT_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def f(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                and leaf.shape[0] == capacity:
+            return jax.device_put(leaf, shd)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map(f, opt_state)
+
+
 def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                  tc: Optional[TrainConfig] = None, *, mesh: Mesh,
                  batch: Optional[int] = None, width: Optional[int] = None,
                  height: Optional[int] = None, exch_factor: float = 2.0,
+                 dc=None, seed: int = 0,
                  log_every: int = 50, verbose: bool = True):
     """``trainer.fit_scene`` on the (view x splat) mesh.
 
@@ -203,6 +273,19 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
     cycling through the view list. Returns (activated params, history)
     like ``fit_scene``; nonzero step overflow raises a warning through
     ``fast_sharded.warn_on_sharded_overflow``.
+
+    ``dc`` (a ``train.densify.DensifyConfig``) composes adaptive density
+    control with BOTH parallel axes: parameters live at ``dc.capacity``
+    rows (rounded up to a multiple of ``ds``), P(splat)-sharded; the train
+    step returns the per-view screen statistic (sharded shift trick, see
+    ``make_2d_train_step``); ``densify_and_prune`` -- pure jnp over
+    capacity-sized arrays -- runs under plain jit on the SHARDED state, so
+    GSPMD computes the exact global single-stream semantics (global
+    candidate ranking, global free-slot matching) and the result is
+    deterministically re-placed P(splat). A 2-D+ADC run on a dv x ds mesh
+    equals the same run on a 1x1 mesh to float tolerance
+    (tests/test_mesh2d.py). With ``dc`` the return is (params at capacity,
+    alive mask, history).
     """
     from openglgaussiansplattingrenderer_tpu.parallel.fast_sharded import (
         warn_on_sharded_overflow,
@@ -224,12 +307,32 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
     height = height or camera_dims(cameras[0])[1]
 
     n_orig = params["means"].shape[0]
-    params = pad_scene_for_mesh(
-        {k: jnp.asarray(v) for k, v in params.items()}, ds)
-    raw = shard_raw_2d(raw_from_params(params), mesh)
+    alive = grad_accum = seen_count = key = None
+    if dc is not None:
+        import dataclasses
+
+        from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+        cap = -(-dc.capacity // ds) * ds
+        if cap != dc.capacity:
+            dc = dataclasses.replace(dc, capacity=cap)
+        raw, alive = dn.pad_to_capacity(
+            raw_from_params({k: jnp.asarray(v) for k, v in params.items()}),
+            cap)
+        raw = shard_raw_2d(raw, mesh)
+        shd = NamedSharding(mesh, P(SPLAT_AXIS))
+        alive = jax.device_put(alive, shd)
+        grad_accum = jax.device_put(jnp.zeros((cap,), jnp.float32), shd)
+        seen_count = jax.device_put(jnp.zeros((cap,), jnp.float32), shd)
+        key = jax.random.PRNGKey(seed)
+    else:
+        params = pad_scene_for_mesh(
+            {k: jnp.asarray(v) for k, v in params.items()}, ds)
+        raw = shard_raw_2d(raw_from_params(params), mesh)
     step = make_2d_train_step(cfg, tc, width, height, mesh, batch=batch,
                               param_keys=tuple(sorted(raw.keys())),
-                              exch_factor=exch_factor)
+                              exch_factor=exch_factor,
+                              with_grad_norms=dc is not None)
     opt_state = step.init(raw)
     bundles = camera_bundles(cameras)
     tgt_tiles = [jnp.asarray(tile_target(t, width, height, cfg)[0])
@@ -245,11 +348,46 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
         vp = jnp.stack([b[1] for b in bsel])
         sc = [jnp.stack([jnp.asarray(b[j], jnp.float32) for b in bsel])
               for j in (2, 3, 4, 5)]
-        raw, opt_state, loss, p, over = step(raw, opt_state, tgt, view, vp,
-                                             *sc)
+        if dc is None:
+            raw, opt_state, loss, p, over = step(raw, opt_state, tgt, view,
+                                                 vp, *sc)
+        else:
+            from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+            raw, opt_state, loss, p, over, gnorm, seen = step(
+                raw, opt_state, tgt, view, vp, *sc)
+            grad_accum, seen_count = dn.accumulate_grad_stats_batched(
+                grad_accum, seen_count, gnorm, seen, alive)
+            if (dc.start_step <= i < dc.stop_step and i > 0
+                    and i % dc.interval == 0):
+                key, sub = jax.random.split(key)
+                raw, alive, changed, dstats = dn.densify_and_prune(
+                    raw, alive, grad_accum, seen_count, sub, dc)
+                opt_state = dn.reset_rows(opt_state, changed)
+                # deterministic reshard after clone/split/prune
+                raw = shard_raw_2d(raw, mesh)
+                opt_state = _place_state_2d(opt_state, mesh, dc.capacity)
+                shd = NamedSharding(mesh, P(SPLAT_AXIS))
+                alive = jax.device_put(alive, shd)
+                grad_accum = jax.device_put(
+                    jnp.zeros((dc.capacity,), jnp.float32), shd)
+                seen_count = jax.device_put(
+                    jnp.zeros((dc.capacity,), jnp.float32), shd)
+                if verbose:
+                    d = {k: int(v) for k, v in dstats.items()}
+                    print(f"step {i}: densify {d}")
+            if (dc.opacity_reset_interval and i > 0 and i < dc.stop_step
+                    and i % dc.opacity_reset_interval == 0):
+                raw = shard_raw_2d(
+                    dn.reset_opacity(raw, dc.opacity_reset_ceiling), mesh)
+                opt_state = _place_state_2d(
+                    dn.reset_opacity_moments(opt_state, dc.capacity),
+                    mesh, dc.capacity)
         if i % log_every == 0 or i == tc.steps - 1:
             m = {"loss": float(loss), "psnr": float(p),
                  "overflow": int(over)}
+            if dc is not None:
+                m["alive"] = int(jnp.sum(alive))
             warn_on_sharded_overflow({"overflow": m["overflow"]},
                                      exch_factor, ds)
             history.append({"step": i, **m})
@@ -258,5 +396,7 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                       f"psnr {m['psnr']:.2f} (batch {batch}, "
                       f"mesh {dv}x{ds})")
     fitted = params_from_raw(raw)
+    if dc is not None:
+        return fitted, alive, history
     # strip the splat-axis padding (degenerate far-away splats) added above
     return {k: v[:n_orig] for k, v in fitted.items()}, history

@@ -261,15 +261,39 @@ def accumulate_grad_stats(
     return grad_accum + jnp.where(seen, norm, 0.0), seen_count + seen
 
 
+def accumulate_grad_stats_batched(
+    grad_accum: jnp.ndarray,
+    seen_count: jnp.ndarray,
+    gnorm_sum: jnp.ndarray,
+    seen_inc: jnp.ndarray,
+    alive: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold one BATCHED step's statistics in: ``gnorm_sum`` is the sum of
+    per-view screen-grad norms over the batch and ``seen_inc`` the count of
+    views each splat contributed to -- a batch-B step advances the
+    accumulators exactly like B sequential view-iterations (the parallel
+    train steps return both, e.g. ``make_dp_train_step``
+    ``with_grad_norms``)."""
+    live = alive.astype(jnp.float32)
+    return grad_accum + gnorm_sum * live, seen_count + seen_inc * live
+
+
 def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
                        tc=None, width=None, height=None, seed: int = 0,
-                       log_every: int = 50, verbose: bool = True):
+                       log_every: int = 50, verbose: bool = True,
+                       save_every: int = 0, checkpoint_path=None,
+                       resume=None):
     """``trainer.fit_scene`` with adaptive density control.
 
     Starts from ``params`` (any count <= dc.capacity), densifies/prunes on
     ``dc.interval`` inside [start_step, stop_step). Returns (activated
     params at full capacity, alive mask, history). The render pipeline
     never sees a shape change -- one compiled program serves the whole run.
+
+    ``save_every``/``checkpoint_path``/``resume`` as in
+    ``trainer.fit_scene``; checkpoints additionally carry the densify
+    state (``alive``, ``grad_accum``, ``seen_count``) and the RNG key, so
+    a resumed run replays the uninterrupted one exactly.
     """
     from openglgaussiansplattingrenderer_tpu.train import trainer
 
@@ -285,6 +309,21 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     grad_accum = jnp.zeros((dc.capacity,), jnp.float32)
     seen_count = jnp.zeros((dc.capacity,), jnp.float32)
     key = jax.random.PRNGKey(seed)
+    start_step = 0
+    if resume:
+        r_raw, start_step, extras = trainer.load_checkpoint_full(resume)
+        opt = (trainer.restore_opt_state(state.opt_state,
+                                         extras["opt_leaves"])
+               if "opt_leaves" in extras else state.opt_state)
+        state = trainer.TrainState(
+            {k: jnp.asarray(v) for k, v in r_raw.items()}, opt, start_step)
+        alive = jnp.asarray(extras["alive"])
+        grad_accum = jnp.asarray(extras["grad_accum"])
+        seen_count = jnp.asarray(extras["seen_count"])
+        key = jnp.asarray(extras["rng_key"])
+        if verbose:
+            print(f"resumed {resume} at step {start_step} "
+                  f"(alive {int(jnp.sum(alive))})")
 
     cam_bundles = trainer.camera_bundles(cameras)
     targets = [jnp.asarray(t, jnp.float32) for t in targets]
@@ -293,7 +332,7 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
 
     t0 = _time.time()
     history = []
-    for i in range(tc.steps):
+    for i in range(start_step, tc.steps):
         j = i % len(targets)
         state, metrics = step(state, targets[j], *cam_bundles[j])
         grad_accum, seen_count = accumulate_grad_stats(
@@ -332,6 +371,13 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
             if verbose:
                 print(f"step {i}: loss {m['loss']:.5f} psnr {m['psnr']:.2f} "
                       f"alive {m['alive']}")
+
+        if (save_every and checkpoint_path
+                and ((i + 1) % save_every == 0 or i == tc.steps - 1)):
+            trainer.save_checkpoint(
+                checkpoint_path, state.raw, step=i + 1,
+                opt_state=state.opt_state, alive=alive,
+                grad_accum=grad_accum, seen_count=seen_count, rng_key=key)
 
     return trainer.params_from_raw(state.raw), alive, history
 

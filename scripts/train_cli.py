@@ -50,13 +50,13 @@ def main():
     ap.add_argument("--data-parallel", type=int, default=0, metavar="NDEV",
                     help="view-parallel training over NDEV devices (one "
                     "view per device per step; params replicated, grads "
-                    "pmean-synced). 0 = off; requires NDEV <= device count "
-                    "and is mutually exclusive with --densify for now")
+                    "pmean-synced). 0 = off; requires NDEV <= device "
+                    "count; composes with --densify")
     ap.add_argument("--mesh2d", default="", metavar="DVxDS",
                     help="2-D mesh training, e.g. 2x4: DV view rows x DS "
                     "splat shards (params splat-sharded, batch of DV views "
-                    "per step). Mutually exclusive with --data-parallel "
-                    "and --densify")
+                    "per step). Mutually exclusive with --data-parallel; "
+                    "composes with --densify")
     ap.add_argument("--capacity", type=int, default=0,
                     help="densify capacity (0 = 4x init count)")
     ap.add_argument("--densify-interval", type=int, default=100)
@@ -83,29 +83,40 @@ def main():
     ap.add_argument("--capacity-factor", type=float, default=8.0)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--save-every", type=int, default=0, metavar="N",
+                    help="write a full-state checkpoint (params + optimizer "
+                    "+ densify state) every N steps; 0 = off")
+    ap.add_argument("--ckpt", default="", metavar="PATH",
+                    help="checkpoint path (default: <output>.ckpt.npz)")
+    ap.add_argument("--resume", default="", metavar="PATH",
+                    help="resume training from a checkpoint written by "
+                    "--save-every; replays the uninterrupted run exactly")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--platform", default="auto",
                     choices=["auto", "cpu", "tpu"])
     args = ap.parse_args()
 
-    if args.data_parallel and args.densify:
-        print("FATAL: --data-parallel and --densify are not composable yet "
-              "(densification state updates are single-stream)",
+    if args.mesh2d and args.data_parallel:
+        print("FATAL: --mesh2d is mutually exclusive with --data-parallel",
               file=sys.stderr)
         sys.exit(1)
-    if args.mesh2d and (args.data_parallel or args.densify):
-        print("FATAL: --mesh2d is mutually exclusive with --data-parallel "
-              "and --densify", file=sys.stderr)
+    if (args.save_every or args.resume) and (args.data_parallel
+                                             or args.mesh2d):
+        print("FATAL: --save-every/--resume are single-chip only for now "
+              "(use the fit_scene/fit_scene_adaptive paths)",
+              file=sys.stderr)
         sys.exit(1)
     mesh2d_dims = None
     if args.mesh2d:
         try:
             dv, ds = (int(x) for x in args.mesh2d.lower().split("x"))
+            if dv < 1 or ds < 1:
+                raise ValueError
             mesh2d_dims = (dv, ds)
         except ValueError:
-            print(f"FATAL: --mesh2d wants DVxDS (e.g. 2x4), got "
-                  f"{args.mesh2d!r}", file=sys.stderr)
+            print(f"FATAL: --mesh2d wants DVxDS with positive dims "
+                  f"(e.g. 2x4), got {args.mesh2d!r}", file=sys.stderr)
             sys.exit(1)
 
     # multi-device modes on CPU: provision virtual devices before the
@@ -236,6 +247,7 @@ def main():
                         if args.lr_means_final > 0 else None),
         lr_means_decay_steps=args.lr_decay_steps or None)
 
+    dc = None
     if args.densify:
         capacity = args.capacity or 4 * start["means"].shape[0]
         dc = DensifyConfig(capacity=capacity,
@@ -245,12 +257,8 @@ def main():
                            start_step=args.densify_start,
                            stop_step=int(args.steps * 0.8),
                            opacity_reset_interval=args.opacity_reset_interval)
-        fitted, alive, hist = fit_scene_adaptive(
-            start, targets, cams, cfg, dc, tc=tc, seed=args.seed,
-            log_every=args.log_every)
-        out_params = dn.compact_params(fitted, alive)
-        fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
-    elif args.mesh2d:
+
+    if args.mesh2d:
         import jax
 
         from openglgaussiansplattingrenderer_tpu.parallel import mesh2d
@@ -260,11 +268,17 @@ def main():
             print(f"FATAL: --mesh2d {dv}x{ds} needs {dv * ds} devices, "
                   f"have {len(jax.devices())}", file=sys.stderr)
             sys.exit(1)
-        fitted, hist = mesh2d.fit_scene_2d(
+        out = mesh2d.fit_scene_2d(
             start, targets, cams, cfg, tc, mesh=mesh2d.make_mesh2d(dv, ds),
-            width=args.width, height=args.height, log_every=args.log_every)
-        out_params = {k: np.asarray(v) for k, v in fitted.items()}
-        fitted_render = fitted
+            width=args.width, height=args.height, dc=dc, seed=args.seed,
+            log_every=args.log_every)
+        if dc is not None:
+            fitted, alive, hist = out
+            out_params = dn.compact_params(fitted, alive)
+        else:
+            fitted, hist = out
+            out_params = {k: np.asarray(v) for k, v in fitted.items()}
+        fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
     elif args.data_parallel:
         import jax
 
@@ -277,14 +291,34 @@ def main():
             print(f"FATAL: --data-parallel {ndev} > "
                   f"{len(jax.devices())} devices", file=sys.stderr)
             sys.exit(1)
-        fitted, hist = dp.fit_scene_dp(
+        out = dp.fit_scene_dp(
             start, targets, cams, cfg, tc, mesh=dp.make_mesh(ndev),
-            width=args.width, height=args.height, log_every=args.log_every)
-        out_params = {k: np.asarray(v) for k, v in fitted.items()}
-        fitted_render = fitted
+            width=args.width, height=args.height, dc=dc, seed=args.seed,
+            log_every=args.log_every)
+        if dc is not None:
+            fitted, alive, hist = out
+            out_params = dn.compact_params(fitted, alive)
+        else:
+            fitted, hist = out
+            out_params = {k: np.asarray(v) for k, v in fitted.items()}
+        fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
+    elif args.densify:
+        fitted, alive, hist = fit_scene_adaptive(
+            start, targets, cams, cfg, dc, tc=tc, seed=args.seed,
+            log_every=args.log_every,
+            save_every=args.save_every,
+            checkpoint_path=args.ckpt or args.output + ".ckpt.npz",
+            resume=args.resume or None)
+        out_params = dn.compact_params(fitted, alive)
+        fitted_render = {k: jnp.asarray(v) for k, v in fitted.items()}
     else:
         fitted, hist = fit_scene(start, targets, cams, cfg, tc,
-                                 log_every=args.log_every)
+                                 log_every=args.log_every,
+                                 save_every=args.save_every,
+                                 checkpoint_path=(args.ckpt
+                                                  or args.output
+                                                  + ".ckpt.npz"),
+                                 resume=args.resume or None)
         out_params = {k: np.asarray(v) for k, v in fitted.items()}
         fitted_render = fitted
 

@@ -93,10 +93,15 @@ def test_dp_grad_norms_sum_over_views():
                                  param_keys=keys, with_grad_norms=True)
     opt_state = step.init(raw)
     args = dp.stack_view_batch(targets, bundles)
-    _, _, _, _, gnorm = step(raw, opt_state, *args)
+    _, _, _, _, gnorm, seen = step(raw, opt_state, *args)
     assert gnorm.shape == (raw["means"].shape[0],)
     assert bool(jnp.all(jnp.isfinite(gnorm)))
     assert float(jnp.max(gnorm)) > 0.0
+    # seen counts views-with-contribution, bounded by the batch size
+    assert seen.shape == gnorm.shape
+    assert float(jnp.max(seen)) <= batch
+    np.testing.assert_array_equal(np.asarray(seen > 0),
+                                  np.asarray(gnorm > 0))
 
     # the batch statistic is the sum of per-view screen-grad norms
     def one_view(t, b):
@@ -141,3 +146,45 @@ def test_dp_training_converges():
         first = first if first is not None else float(loss)
         last = float(loss)
     assert last < first
+
+
+def test_dp_adc_parity_with_single_device():
+    """--data-parallel + adaptive density control: a 2-device dp+ADC run
+    must equal the 1-device run (batch=2 keeps every cross-view reduction
+    a commutative 2-term sum)."""
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        TrainConfig as TCfg, camera_bundles,
+    )
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.render import render_arrays
+
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cams = [Camera(0.4 * i - 0.2, 0.2, -4.0, width=W, height=H)
+            for i in range(2)]
+    bundles = camera_bundles(cams)
+    targets = [np.asarray(render_arrays(full, *b, W, H, CFG)[0][..., :3])
+               for b in bundles]
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=3,
+                          stop_step=8)
+    tc = TCfg(steps=8, lambda_dssim=0.0, lr_means=3e-3)
+
+    p2, alive2, _ = dp.fit_scene_dp(
+        start, targets, cams, CFG, tc, mesh=dp.make_mesh(2), batch=2,
+        dc=dc, seed=5, verbose=False)
+    p1, alive1, _ = dp.fit_scene_dp(
+        start, targets, cams, CFG, tc, mesh=dp.make_mesh(1), batch=2,
+        dc=dc, seed=5, verbose=False)
+
+    np.testing.assert_array_equal(np.asarray(alive2), np.asarray(alive1))
+    assert int(jnp.sum(alive2)) > 6, "densification never allocated"
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p2[k]), np.asarray(p1[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"dp+ADC diverged on {k}")

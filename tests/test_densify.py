@@ -303,3 +303,39 @@ def test_adaptive_fit_with_opacity_reset():
         log_every=10)
     op = np.asarray(fitted["opacities"])[np.asarray(alive)]
     assert (op <= 0.01 + 1e-6).all(), op.max()
+
+
+def test_adaptive_kill_and_resume_matches(tmp_path):
+    """A densify-mode checkpoint taken between densify events resumes to
+    the exact uninterrupted trajectory (params + optimizer + alive mask +
+    grad accumulators + RNG key all round-trip)."""
+    w = h = 64
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    cam = Camera(0.0, 0.0, -4.0, width=w, height=h)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    target, _ = render_stats(full, cam, CFG)
+    target = np.asarray(target[..., :3])
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+
+    # densify fires at step 6 (interval 6, start 0) -- AFTER the step-4
+    # checkpoint, so the resumed run must replay the event identically
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=6,
+                          stop_step=10)
+    tc = TrainConfig(steps=10, lambda_dssim=0.0, lr_means=3e-3)
+    ref, alive_ref, _ = dn.fit_scene_adaptive(
+        start, [target], [cam], CFG, dc, tc=tc, seed=3, verbose=False)
+
+    mid = str(tmp_path / "ad.ckpt.npz")
+    tc4 = TrainConfig(steps=4, lambda_dssim=0.0, lr_means=3e-3)
+    dn.fit_scene_adaptive(start, [target], [cam], CFG, dc, tc=tc4, seed=3,
+                          verbose=False, save_every=4, checkpoint_path=mid)
+    res, alive_res, _ = dn.fit_scene_adaptive(
+        start, [target], [cam], CFG, dc, tc=tc, seed=3, verbose=False,
+        resume=mid)
+    np.testing.assert_array_equal(np.asarray(alive_ref),
+                                  np.asarray(alive_res))
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(res[k]),
+                                      err_msg=f"adaptive resume diverged on {k}")

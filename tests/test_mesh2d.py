@@ -164,3 +164,43 @@ def test_2d_loss_decreases_over_steps():
         raw_s, opt_state, loss, _, _ = step(raw_s, opt_state, *args)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_2d_adc_parity_with_1x1_mesh():
+    """--mesh2d + adaptive density control: a 2x4 (view x splat) run must
+    equal the same run on a 1x1 mesh. densify_and_prune runs as the same
+    global program on sharded state (GSPMD), stats ride the per-view shift
+    trick, and resharding is deterministic -- so only 2-term-commutative
+    view sums separate the two runs."""
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cams = [Camera(0.4 * i - 0.2, 0.2, -4.0, width=W, height=H)
+            for i in range(2)]
+    bundles = camera_bundles(cams)
+    targets = []
+    for b in bundles:
+        img, _ = render_fast(full, *b, W, H, CFG)
+        targets.append(np.asarray(img[..., :3]))
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=3,
+                          stop_step=8)
+    tc = TrainConfig(steps=8, lambda_dssim=0.0, lr_means=3e-3)
+
+    p24, alive24, h24 = mesh2d.fit_scene_2d(
+        start, targets, cams, CFG, tc, mesh=mesh2d.make_mesh2d(2, 4),
+        batch=2, dc=dc, seed=5, verbose=False)
+    p11, alive11, h11 = mesh2d.fit_scene_2d(
+        start, targets, cams, CFG, tc, mesh=mesh2d.make_mesh2d(1, 1),
+        batch=2, dc=dc, seed=5, verbose=False)
+
+    np.testing.assert_array_equal(np.asarray(alive24), np.asarray(alive11))
+    assert int(jnp.sum(alive24)) > 6, "densification never allocated"
+    for k in p11:
+        np.testing.assert_allclose(
+            np.asarray(p24[k]), np.asarray(p11[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"2d+ADC diverged on {k}")
