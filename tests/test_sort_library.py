@@ -77,3 +77,40 @@ def test_lexicographic_tile_depth(rng):
     order = np.lexsort((depth, tile))
     np.testing.assert_array_equal(np.asarray(st), tile[order])
     np.testing.assert_array_equal(np.asarray(sv), vals[order])
+
+
+def test_bwd_cotangent_pack_roundtrip(rng):
+    """bf16x2 packing is an exact bitcast roundtrip at bf16 precision."""
+    a = jnp.asarray(rng.standard_normal(4096).astype(np.float32)) * 1e-3
+    b = jnp.asarray(rng.standard_normal(4096).astype(np.float32)) * 1e3
+    pa, pb = rk._unpack2(rk._pack2(a, b))
+    np.testing.assert_array_equal(
+        np.asarray(pa), np.asarray(a.astype(jnp.bfloat16).astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(pb), np.asarray(b.astype(jnp.bfloat16).astype(jnp.float32)))
+
+
+def test_bwd_bf16_pack_grads_close_to_f32(rng, monkeypatch):
+    """GS_BWD_SORT=bf16 rounds the un-sorted cotangents to bf16 -- the
+    gradients must match the f32 path to bf16 relative precision and keep
+    the same sparsity pattern (zeros stay exactly zero: bf16(0) == 0)."""
+    import jax
+
+    n = 20_000
+    key = jnp.asarray(rng.integers(0, 512, n).astype(np.int32))
+    fields = tuple(jnp.asarray(rng.standard_normal(n).astype(np.float32))
+                   for _ in range(9))
+
+    def loss(fields):
+        _, _, sf = rk.sort_with_payload(key, fields)
+        return sum(jnp.sum(jnp.sin(f) * f) for f in sf)
+
+    monkeypatch.setattr(rk, "BWD_COT_PACK", "f32")
+    g32 = jax.grad(loss)(fields)
+    monkeypatch.setattr(rk, "BWD_COT_PACK", "bf16")
+    g16 = jax.grad(loss)(fields)
+    for a, b in zip(g32, g16):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=8e-3, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(a) == 0,
+                                      np.asarray(b) == 0)
