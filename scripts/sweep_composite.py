@@ -139,7 +139,8 @@ def main():
 
         return jax.value_and_grad(loss)(fields)
 
-    for form, rows, chunk, subc, gate in VARIANTS:
+    for form, rows, chunk, subc, gate in (
+            [] if os.environ.get("SWEEP_NO_FWD") else VARIANTS):
         pc.POWER_FORM = form
         pc.FWD_EXIT_ROWS = rows
         pc.SUB_CHUNKS = subc
@@ -163,9 +164,13 @@ def main():
         return
     # backward: power-form x exit-granularity x sub-chunk variants (the
     # backward recompute follows POWER_FORM and SUB_CHUNKS, so they are
-    # bwd knobs too)
-    pc.FWD_EXIT_ROWS = None
-    pc.SUB_GATE = True
+    # bwd knobs too). SWEEP_BWD_CHUNK overrides the record chunk (the
+    # flagship point runs 256).
+    pc.FWD_EXIT_ROWS = 8   # production default -- the bwd program
+    pc.SUB_GATE = True     # includes the fwd recompute
+    if os.environ.get("SWEEP_BWD_CHUNK"):
+        cfg = dataclasses.replace(
+            cfg, chunk=int(os.environ["SWEEP_BWD_CHUNK"]))
     for form, rows, subc in BWD_VARIANTS:
         pc.POWER_FORM = form
         pc.BWD_EXIT_ROWS = rows
