@@ -651,7 +651,11 @@ BWD_TEMP_BUDGET = 131_072
 # 58.6 ms; r2's 1080p sweep had the same pair within +-3%. SUB_CHUNKS > 1
 # measured catastrophic there (176 ms) -- stays 1.
 FWD_EXIT_ROWS = 8           # fwd pixel-block rows cap = early-exit granularity
-BWD_EXIT_ROWS = None        # bwd pixel-block rows cap = early-exit granularity
+# r4 flagship bwd sweep (chunk 256, incl. fwd recompute): rows=8 beats
+# None on BOTH scene statistics -- uniform 56.4 vs 57.1 ms, clustered
+# 98.5 vs 104.1 (values identical; grads past saturation are exactly zero
+# at any exit granularity)
+BWD_EXIT_ROWS = 8           # bwd pixel-block rows cap = early-exit granularity
 POWER_FORM = "sep"          # "sos" | "sep" | "direct" (sweep knob; same
                             # semantics; "sep" == "sos" bit-exactly in
                             # interpret mode, to ulps on hardware)

@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--capacity-factor", type=float, default=8.0)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--bf16-grads", action="store_true",
+                    help="pack cotangent pairs to bf16 through the record-"
+                    "sort backward (GS_BWD_SORT=bf16): measured -21 ms on "
+                    "the flagship backward; gradients round to bf16 before "
+                    "the per-splat sum (Adam-safe, not bit-equal to f32)")
     ap.add_argument("--save-every", type=int, default=0, metavar="N",
                     help="write a full-state checkpoint (params + optimizer "
                     "+ densify state) every N steps; 0 = off")
@@ -134,6 +139,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.bf16_grads:
+        # must land before any train step is traced (the flag binds at
+        # trace time -- ops/pallas/records.py BWD_COT_PACK)
+        from openglgaussiansplattingrenderer_tpu.ops.pallas import (
+            records as _rk,
+        )
+
+        _rk.BWD_COT_PACK = "bf16"
 
     import numpy as np
     import jax.numpy as jnp

@@ -36,14 +36,23 @@ def test_train_cli_data_parallel(tmp_path):
     back = ply_io.load_splats(out_ply)
     assert back["means"].shape[0] == 10
 
-    # --data-parallel and --densify together must be refused, not mangled
+    # --data-parallel composes with --densify since r4 (ADC on the mesh)
+    out_ply2 = str(tmp_path / "fitted_adc.ply")
+    out_hist2 = str(tmp_path / "hist_adc.json")
     r2 = subprocess.run(
-        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
-         "--data-parallel", "4", "--densify"],
-        capture_output=True, text=True, timeout=120,
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply2,
+         "--out-png", str(tmp_path / "cmp2.png"), "--history", out_hist2,
+         "--platform", "cpu", "--no-pallas", "--width", "64", "--height",
+         "64", "--views", "4", "--orbit-radius", "4.0", "--steps", "20",
+         "--init-count", "10", "--chunk", "32", "--capacity-factor", "32",
+         "--log-every", "10", "--data-parallel", "2", "--densify",
+         "--capacity", "24", "--densify-interval", "8",
+         "--densify-start", "2", "--grad-threshold", "1e-6"],
+        capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    assert r2.returncode != 0
-    assert "not composable" in r2.stderr
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    hist2 = json.load(open(out_hist2))
+    assert hist2["splats"] > 10, "dp densification never grew the set"
 
 
 @pytest.mark.slow
@@ -71,21 +80,33 @@ def test_train_cli_mesh2d(tmp_path):
     back = ply_io.load_splats(out_ply)
     assert back["means"].shape[0] == 10
 
-    # malformed mesh spec and composition with --densify must be refused
+    # --mesh2d composes with --densify since r4 (sharded-global ADC)
+    out_ply2 = str(tmp_path / "fitted_adc.ply")
+    out_hist2 = str(tmp_path / "hist_adc.json")
     r2 = subprocess.run(
-        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
-         "--mesh2d", "2x2", "--densify"],
-        capture_output=True, text=True, timeout=120,
+        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply2,
+         "--out-png", str(tmp_path / "cmp2.png"), "--history", out_hist2,
+         "--platform", "cpu", "--no-pallas", "--width", "64", "--height",
+         "64", "--views", "4", "--orbit-radius", "4.0", "--steps", "20",
+         "--init-count", "10", "--chunk", "32", "--capacity-factor", "32",
+         "--log-every", "10", "--mesh2d", "2x2", "--densify",
+         "--capacity", "24", "--densify-interval", "8",
+         "--densify-start", "2", "--grad-threshold", "1e-6"],
+        capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    assert r2.returncode != 0
-    assert "mutually exclusive" in r2.stderr
-    r3 = subprocess.run(
-        [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
-         "--mesh2d", "nonsense"],
-        capture_output=True, text=True, timeout=120,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    assert r3.returncode != 0
-    assert "DVxDS" in r3.stderr
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    hist2 = json.load(open(out_hist2))
+    assert hist2["splats"] > 10, "mesh2d densification never grew the set"
+
+    # malformed / non-positive mesh specs must be refused
+    for bad in ("nonsense", "0x4", "-2x4"):
+        r3 = subprocess.run(
+            [sys.executable, "scripts/train_cli.py", scene, "-o", out_ply,
+             "--mesh2d", bad],
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r3.returncode != 0, bad
+        assert "DVxDS" in r3.stderr, bad
 
 
 @pytest.mark.slow
