@@ -85,11 +85,27 @@ class Splats:
         self.cov6 = np.asarray(self.scene.covariances())
         self.last_image: Optional[np.ndarray] = None
         self.last_stats: Optional[Dict[str, np.ndarray]] = None
+        self._device_params: Optional[Dict[str, jnp.ndarray]] = None
 
     def _params(self) -> Dict[str, jnp.ndarray]:
         p = self.scene.params()
         p["cov6"] = jnp.asarray(self.cov6)
         return p
+
+    def _cached_params(self) -> Dict[str, jnp.ndarray]:
+        """Device-resident copy of the scene parameters, uploaded once.
+
+        ``SplatScene.params()`` converts numpy -> device EVERY call; over a
+        tunneled TPU that re-upload (~6 MB at 100k splats) dominated each
+        interactive frame (~370 ms measured, scripts/viewer_fps_bench.py).
+        Call ``invalidate_cache()`` after mutating ``self.scene``.
+        """
+        if self._device_params is None:
+            self._device_params = self.scene.params()
+        return self._device_params
+
+    def invalidate_cache(self) -> None:
+        self._device_params = None
 
     def autotune_capacity(self, camera, margin: float = 1.2) -> None:
         """Pin the record capacity to this scene's measured record count
@@ -151,11 +167,37 @@ class Splats:
     def render_camera(self, camera) -> np.ndarray:
         from openglgaussiansplattingrenderer_tpu.render import render_stats
 
-        image, stats = render_stats(self.scene, camera, self.cfg)
+        image, stats = render_stats(self._cached_params(), camera, self.cfg)
         self.last_image = np.asarray(image)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
         self._warn_on_overflow()
         return self.last_image
+
+    def render_camera_u8(self, camera, fetch_stats: bool = True
+                         ) -> np.ndarray:
+        """(H, W, 3) uint8 render for streaming. Two tunnel-latency
+        optimizations over ``render_camera`` (a tunneled TPU's
+        device->host round trips, not the render, bound streamed fps --
+        scripts/viewer_fps_bench.py): quantization (clip + *255 + round,
+        the reference saveImage's formula) happens ON DEVICE so the image
+        fetch moves 1/5 of the f32 RGBA bytes, and ``fetch_stats=False``
+        skips the ~11 scalar stat fetches (each one a full round trip)
+        entirely -- stream loops refresh stats every Nth frame instead."""
+        import jax.numpy as jnp
+
+        from openglgaussiansplattingrenderer_tpu.render import render_stats
+
+        import jax
+
+        image, stats = render_stats(self._cached_params(), camera, self.cfg)
+        u8 = (jnp.clip(image[..., :3], 0.0, 1.0) * 255.0 + 0.5
+              ).astype(jnp.uint8)
+        if fetch_stats:
+            # ONE batched device_get -- per-array np.asarray fetches each
+            # pay a full tunnel round trip (~36 ms measured)
+            self.last_stats = jax.device_get(stats)
+            self._warn_on_overflow()
+        return np.asarray(u8)
 
     def render_depth_camera(self, camera, mode: str = "ndc",
                             normalize: bool = True):

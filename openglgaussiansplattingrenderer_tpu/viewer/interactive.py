@@ -157,8 +157,12 @@ class ViewerState:
             keys, self.pending = self.pending, []
             for k in keys:
                 self.apply_key(k)
-            img = self.splats.render_camera(self.camera)
-            np.asarray(img)  # fence the device fetch inside the timing
+            # uint8 fetch + stats only every 10th frame: on a tunneled TPU
+            # every device->host fetch is a full round trip, and the ~11
+            # per-frame stat scalars cost more than the render itself
+            # (see Splats.render_camera_u8 / scripts/viewer_fps_bench.py)
+            img = self.splats.render_camera_u8(
+                self.camera, fetch_stats=(self.stream_frames % 10 == 0))
             # delivered fps = gap between consecutive frames (render +
             # encode + socket write of the previous one) -- what the
             # browser actually sees
