@@ -73,20 +73,28 @@ def model(p):
     passes = math.log2(max(c, 2))
     stage("record sort (lax.sort)", p["record_sort_ms"],
           int(cap * 12 * 4 * 2 * passes), cap * 50, "VPU")
-    # composite fwd: stream records once + ~40 VPU ops per record-pixel pair
+    # composite fwd: stream records once + ~40 VPU ops per record-pixel
+    # pair, of which the chunk/row early exits skip ~77% (exit_model.py's
+    # measured 0.80G of 3.53G pairs at bench scale -> factor 0.23); the
+    # naive all-pairs bound would overstate SoL ~4x
     stage("composite fwd (Pallas)", p["composite_ms"],
-          cap * 64 + t * px * 16, c * px * 40, "VPU")
+          cap * 64 + t * px * 16, int(c * px * 40 * 0.23), "VPU")
 
     sol_total = sum(r["sol_ms"] for r in rows)
+    sort_row = next(r for r in rows if "sort" in r["name"])
     return rows, dict(
         fwd_ms=p["fwd_ms"],
         fwd_sol_ms=round(sol_total, 1),
         fwd_pct_sol=round(sol_total / p["fwd_ms"] * 100, 1),
+        # the two well-defined utilizations: expand's flop count is exact,
+        # the sort's byte count is a merge-pass model (lower bound on
+        # traffic). Composite %SoL is intentionally NOT summarized -- its
+        # work is data-dependent (early exits), so a single factor is
+        # scene-specific; see the table row + exit_model.py.
         expand_mfu=next(r["mfu"] for r in rows if r["bound"] == "MXU"),
-        composite_pct_sol=next(r["pct_sol"] for r in rows
-                               if r["name"].startswith("composite")),
-        sort_model_note="sort SoL assumes log2(C) merge round trips -- a "
-                        "lower bound; see docstring",
+        sort_hbm_util_model=sort_row["hbm_util"],
+        sort_model_note="sort bytes assume log2(C) merge round trips -- a "
+                        "traffic lower bound; see docstring",
     )
 
 
