@@ -165,3 +165,34 @@ def test_sharded_overflow_surfaces_and_warns():
                                atol=1e-5)
     # the overflowed render differs (records were genuinely dropped)
     assert float(np.abs(np.asarray(img_of) - np.asarray(img_1)).max()) > 1e-3
+
+
+def test_fast_sharded_sh_colors_match_single():
+    """View-dependent SH colour (degree 1) through the SHARDED fast path:
+    effective_colors evaluates per local splat shard, so the exact-parity
+    gate must hold with sh_rest riding the sharded param tree too."""
+    import dataclasses
+
+    params, args = _setup(96, seed=13)
+    rng = np.random.default_rng(4)
+    params = dict(params, sh_rest=jnp.asarray(
+        rng.normal(0, 10.0, (96, 45)).astype(np.float32)))
+    cfg_sh = dataclasses.replace(CFG, sh_degree=1)
+    mesh = fast_sharded.make_mesh(4)
+    img_s, stats = fast_sharded.render_fast_sharded(
+        params, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+        args["tan_fovx"], args["tan_fovy"], W, H, cfg_sh, mesh)
+    img_1, _ = render_fast(
+        params, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+        args["focal_x"], args["focal_y"], args["tan_fovx"],
+        args["tan_fovy"], W, H, cfg_sh)
+    assert int(stats["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_1),
+                               atol=1e-5)
+    # degree-1 colours actually differ from the DC-only render (the SH
+    # coefficients are large enough to matter)
+    img_dc, _ = render_fast(
+        params, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+        args["focal_x"], args["focal_y"], args["tan_fovx"],
+        args["tan_fovy"], W, H, CFG)
+    assert float(np.abs(np.asarray(img_1) - np.asarray(img_dc)).max()) > 1e-3
