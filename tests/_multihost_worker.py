@@ -67,8 +67,60 @@ def main() -> None:
         jnp.float32(args["tan_fovx"]), jnp.float32(args["tan_fovy"]))
     img = np.asarray(img)
     assert np.all(np.isfinite(img))
+
+    # ---- one 2-D (view x splat) TRAIN step across the process boundary --
+    # view rows = processes, splat shards = each process's local devices;
+    # the record-exchange all-to-all stays inside a process row, the
+    # view-axis grad psum crosses hosts. The test compares this loss to a
+    # single-process 2x2 mesh2d step on the same data.
+    from jax.sharding import Mesh
+
+    from openglgaussiansplattingrenderer_tpu.parallel import mesh2d
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        TrainConfig,
+        raw_from_params,
+    )
+
+    m2 = Mesh(np.array(jax.devices()).reshape(2, 2),
+              (mesh2d.VIEW_AXIS, mesh2d.SPLAT_AXIS))
+    full = {k: np.asarray(v) for k, v in scene.items()}
+    raw_np = {k: np.asarray(v) for k, v in raw_from_params(full).items()}
+
+    def put(x, spec):
+        sh = NamedSharding(m2, spec)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x),
+                                                      np.shape(x))
+
+    raw2 = {k: put(v, P(mesh2d.SPLAT_AXIS)) for k, v in raw_np.items()}
+    tc = TrainConfig(lambda_dssim=0.0)
+    step2 = mesh2d.make_2d_train_step(cfg, tc, width, height, m2, batch=2,
+                                      param_keys=tuple(sorted(raw2.keys())))
+    opt2 = step2.init(raw2)
+    rng = np.random.default_rng(5)
+    tgt_np = np.stack([
+        mesh2d.tile_target(rng.uniform(0, 1, (height, width, 3))
+                           .astype(np.float32), width, height, cfg)[0]
+        for _ in range(2)])
+    cam2 = Camera(0.3, 0.1, -4.2, width=width, height=height)
+    a2 = camera_args(cam2)
+    vvp = [(args, a2)[j] for j in range(2)]
+    tgt = put(tgt_np, P(mesh2d.VIEW_AXIS))
+    view2 = put(np.stack([np.asarray(b["view"], np.float32) for b in vvp]),
+                P(mesh2d.VIEW_AXIS))
+    vp2 = put(np.stack([np.asarray(b["vp"], np.float32) for b in vvp]),
+              P(mesh2d.VIEW_AXIS))
+    sc2 = [put(np.stack([np.float32(b[k]) for b in vvp]),
+               P(mesh2d.VIEW_AXIS))
+           for k in ("focal_x", "focal_y", "tan_fovx", "tan_fovy")]
+    raw2, opt2, loss2, psnr2, over2 = step2(raw2, opt2, tgt, view2, vp2,
+                                            *sc2)
+    loss2 = float(np.asarray(loss2))
+    assert np.isfinite(loss2) and int(np.asarray(over2)) == 0
+
     if rank == 0:
         np.save(os.path.join(outdir, "mh_img.npy"), img)
+        np.save(os.path.join(outdir, "mh_loss2d.npy"),
+                np.asarray(loss2, np.float64))
         with open(os.path.join(outdir, f"ok{rank}"), "w") as fh:
             fh.write(f"overflow={int(overflow)}\n")
     else:

@@ -73,3 +73,35 @@ def test_two_process_render_matches_single(tmp_path):
         args["focal_x"], args["focal_y"], args["tan_fovx"], args["tan_fovy"],
         64, 64, cfg)
     np.testing.assert_allclose(img_mh, np.asarray(img_1), atol=1e-5)
+
+    # the workers also ran one 2-D (view x splat) TRAIN step with view
+    # rows on DIFFERENT PROCESSES; its loss must match a single-process
+    # 2x2 mesh2d step on identical data
+    loss_mh = float(np.load(tmp_path / "mh_loss2d.npy"))
+    from openglgaussiansplattingrenderer_tpu.parallel import mesh2d
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        TrainConfig, raw_from_params,
+    )
+
+    m2 = mesh2d.make_mesh2d(2, 2)
+    raw = raw_from_params(params)
+    raw2 = mesh2d.shard_raw_2d(raw, m2)
+    step2 = mesh2d.make_2d_train_step(
+        cfg, TrainConfig(lambda_dssim=0.0), 64, 64, m2, batch=2,
+        param_keys=tuple(sorted(raw.keys())))
+    opt2 = step2.init(raw2)
+    rng = np.random.default_rng(5)
+    tgt = jnp.asarray(np.stack([
+        mesh2d.tile_target(rng.uniform(0, 1, (64, 64, 3))
+                           .astype(np.float32), 64, 64, cfg)[0]
+        for _ in range(2)]))
+    cam2 = Camera(0.3, 0.1, -4.2, width=64, height=64)
+    a2 = camera_args(cam2)
+    vvp = (args, a2)
+    view2 = jnp.stack([jnp.asarray(b["view"], jnp.float32) for b in vvp])
+    vp2 = jnp.stack([jnp.asarray(b["vp"], jnp.float32) for b in vvp])
+    sc2 = [jnp.asarray([np.float32(b[k]) for b in vvp])
+           for k in ("focal_x", "focal_y", "tan_fovx", "tan_fovy")]
+    _, _, loss_1, _, over_1 = step2(raw2, opt2, tgt, view2, vp2, *sc2)
+    assert int(over_1) == 0
+    np.testing.assert_allclose(loss_mh, float(loss_1), rtol=1e-6, atol=1e-8)

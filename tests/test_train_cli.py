@@ -126,7 +126,7 @@ def test_train_cli_densify_roundtrip(tmp_path):
          "64", "--views", "2", "--orbit-radius", "4.0", "--steps", "40",
          "--init-count", "10", "--densify", "--capacity", "24",
          "--densify-interval", "15", "--densify-start", "5",
-         "--grad-threshold", "1e-6",
+         "--grad-threshold", "1e-6", "--bf16-grads",
          "--chunk", "32", "--capacity-factor", "32", "--log-every", "20"],
         capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
