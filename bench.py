@@ -269,6 +269,23 @@ def main():
         flag_fps[name] = 1000.0 / ms
         log(f"flagship {name}: {ms:.1f} ms/frame ({flag_fps[name]:.2f} fps)")
 
+    # flagship training step (fwd+bwd at the reference's own operating
+    # point, uniform scene, default f32 grads) -- the north-star training
+    # metric at bike-big scale; RESULTS.md r4 carries the per-stage budget
+    def floss(p):
+        img, _ = render_arrays(p, fview, fvp, *fcam_f, FLAG_W, FLAG_H, fcfg)
+        return jnp.mean(img[..., :3] ** 2)
+
+    ffb = jax.jit(jax.value_and_grad(floss))
+    _, fgr = ffb(fparams["uniform"])
+    fence(fgr)
+    t0 = time.time()
+    for _ in range(ITERS):
+        _, fgr = ffb(fparams["uniform"])
+    fence(fgr)
+    flag_fb_ms = (time.time() - t0) / ITERS * 1000
+    log(f"flagship uniform fwd+bwd: {flag_fb_ms:.1f} ms/step")
+
     flag = min(flag_fps.values())   # honest floor: the worse statistics
 
     # roofline-model utilization at the measured flagship frame (VERDICT
@@ -299,6 +316,7 @@ def main():
         "msplats_fwdbwd_1080p": round(msplat_s, 3),
         "msplats_fwdbwd_1080p_vs_proxy": round(msplat_s / BASELINE_MSPLAT_S,
                                                4),
+        "flagship_fwdbwd_ms": round(flag_fb_ms, 1),
         **util_fields,
     }))
 
