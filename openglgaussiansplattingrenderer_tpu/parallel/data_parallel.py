@@ -168,6 +168,8 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
                  *, mesh=None, batch: Optional[int] = None,
                  width: Optional[int] = None, height: Optional[int] = None,
                  dc=None, seed: int = 0,
+                 save_every: int = 0, checkpoint_path: Optional[str] = None,
+                 resume: Optional[str] = None,
                  log_every: int = 50, verbose: bool = True):
     """``trainer.fit_scene`` with view-parallel batching.
 
@@ -186,6 +188,11 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
     dp+ADC run on D devices equals the same run on 1 device to float
     tolerance (tests/test_data_parallel.py). With ``dc`` the return is
     (params at capacity, alive mask, history) like ``fit_scene_adaptive``.
+
+    ``save_every``/``checkpoint_path``/``resume`` as in
+    ``trainer.fit_scene``: the replicated state round-trips through the
+    same npz format (one host copy), so a killed multi-device fit resumes
+    exactly -- including the densify state when ``dc`` is set.
     """
     from openglgaussiansplattingrenderer_tpu.train.trainer import (
         camera_bundles,
@@ -214,12 +221,32 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
                               param_keys=tuple(sorted(raw.keys())),
                               with_grad_norms=dc is not None)
     opt_state = step.init(raw)
+    start_step = 0
+    if resume:
+        from openglgaussiansplattingrenderer_tpu.train.trainer import (
+            load_checkpoint_full,
+            restore_opt_state,
+        )
+
+        r_raw, start_step, extras = load_checkpoint_full(resume)
+        raw = replicate_tree(
+            {k: jnp.asarray(v) for k, v in r_raw.items()}, mesh)
+        if "opt_leaves" in extras:
+            opt_state = replicate_tree(
+                restore_opt_state(opt_state, extras["opt_leaves"]), mesh)
+        if dc is not None:
+            alive = jnp.asarray(extras["alive"])
+            grad_accum = jnp.asarray(extras["grad_accum"])
+            seen_count = jnp.asarray(extras["seen_count"])
+            key = jnp.asarray(extras["rng_key"])
+        if verbose:
+            print(f"resumed {resume} at step {start_step}")
     bundles = camera_bundles(cameras)
     targets = [np.asarray(t, np.float32) for t in targets]
 
     history = []
     nv = len(targets)
-    for i in range(tc.steps):
+    for i in range(start_step, tc.steps):
         sel = [(i * batch + j) % nv for j in range(batch)]
         args = stack_view_batch([targets[s] for s in sel],
                                 [bundles[s] for s in sel])
@@ -261,6 +288,19 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
             if verbose:
                 print(f"step {i}: loss {m['loss']:.5f} "
                       f"psnr {m['psnr']:.2f} (batch {batch})")
+        if (save_every and checkpoint_path
+                and ((i + 1) % save_every == 0 or i == tc.steps - 1)):
+            from openglgaussiansplattingrenderer_tpu.train.trainer import (
+                save_checkpoint,
+            )
+
+            extras = {}
+            if dc is not None:
+                extras = dict(alive=alive, grad_accum=grad_accum,
+                              seen_count=seen_count, rng_key=key)
+            save_checkpoint(checkpoint_path,
+                            {k: np.asarray(v) for k, v in raw.items()},
+                            step=i + 1, opt_state=opt_state, **extras)
     if dc is not None:
         return params_from_raw(raw), alive, history
     return params_from_raw(raw), history

@@ -265,6 +265,8 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                  batch: Optional[int] = None, width: Optional[int] = None,
                  height: Optional[int] = None, exch_factor: float = 2.0,
                  dc=None, seed: int = 0,
+                 save_every: int = 0, checkpoint_path: Optional[str] = None,
+                 resume: Optional[str] = None,
                  log_every: int = 50, verbose: bool = True):
     """``trainer.fit_scene`` on the (view x splat) mesh.
 
@@ -286,6 +288,11 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
     equals the same run on a 1x1 mesh to float tolerance
     (tests/test_mesh2d.py). With ``dc`` the return is (params at capacity,
     alive mask, history).
+
+    ``save_every``/``checkpoint_path``/``resume`` as in
+    ``trainer.fit_scene``: checkpoints gather the sharded state to one
+    host npz; resume re-places it P(splat)-sharded, so a killed
+    multi-chip fit continues exactly (incl. densify state under ``dc``).
     """
     from openglgaussiansplattingrenderer_tpu.parallel.fast_sharded import (
         warn_on_sharded_overflow,
@@ -334,13 +341,38 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                               exch_factor=exch_factor,
                               with_grad_norms=dc is not None)
     opt_state = step.init(raw)
+    start_step = 0
+    if resume:
+        from openglgaussiansplattingrenderer_tpu.train.trainer import (
+            load_checkpoint_full,
+            restore_opt_state,
+        )
+
+        r_raw, start_step, extras = load_checkpoint_full(resume)
+        raw = shard_raw_2d({k: jnp.asarray(v) for k, v in r_raw.items()},
+                           mesh)
+        cap_rows = raw["means"].shape[0]
+        if "opt_leaves" in extras:
+            opt_state = _place_state_2d(
+                restore_opt_state(opt_state, extras["opt_leaves"]),
+                mesh, cap_rows)
+        if dc is not None:
+            shd = NamedSharding(mesh, P(SPLAT_AXIS))
+            alive = jax.device_put(jnp.asarray(extras["alive"]), shd)
+            grad_accum = jax.device_put(
+                jnp.asarray(extras["grad_accum"]), shd)
+            seen_count = jax.device_put(
+                jnp.asarray(extras["seen_count"]), shd)
+            key = jnp.asarray(extras["rng_key"])
+        if verbose:
+            print(f"resumed {resume} at step {start_step}")
     bundles = camera_bundles(cameras)
     tgt_tiles = [jnp.asarray(tile_target(t, width, height, cfg)[0])
                  for t in targets]
 
     history = []
     nv = len(targets)
-    for i in range(tc.steps):
+    for i in range(start_step, tc.steps):
         sel = [(i * batch + j) % nv for j in range(batch)]
         tgt = jnp.stack([tgt_tiles[s] for s in sel])
         bsel = [bundles[s] for s in sel]
@@ -395,6 +427,19 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                 print(f"step {i}: loss {m['loss']:.5f} "
                       f"psnr {m['psnr']:.2f} (batch {batch}, "
                       f"mesh {dv}x{ds})")
+        if (save_every and checkpoint_path
+                and ((i + 1) % save_every == 0 or i == tc.steps - 1)):
+            from openglgaussiansplattingrenderer_tpu.train.trainer import (
+                save_checkpoint,
+            )
+
+            extras = {}
+            if dc is not None:
+                extras = dict(alive=alive, grad_accum=grad_accum,
+                              seen_count=seen_count, rng_key=key)
+            save_checkpoint(checkpoint_path,
+                            {k: np.asarray(v) for k, v in raw.items()},
+                            step=i + 1, opt_state=opt_state, **extras)
     fitted = params_from_raw(raw)
     if dc is not None:
         return fitted, alive, history

@@ -106,12 +106,6 @@ def main():
         print("FATAL: --mesh2d is mutually exclusive with --data-parallel",
               file=sys.stderr)
         sys.exit(1)
-    if (args.save_every or args.resume) and (args.data_parallel
-                                             or args.mesh2d):
-        print("FATAL: --save-every/--resume are single-chip only for now "
-              "(use the fit_scene/fit_scene_adaptive paths)",
-              file=sys.stderr)
-        sys.exit(1)
     mesh2d_dims = None
     if args.mesh2d:
         try:
@@ -285,6 +279,9 @@ def main():
         out = mesh2d.fit_scene_2d(
             start, targets, cams, cfg, tc, mesh=mesh2d.make_mesh2d(dv, ds),
             width=args.width, height=args.height, dc=dc, seed=args.seed,
+            save_every=args.save_every,
+            checkpoint_path=args.ckpt or args.output + ".ckpt.npz",
+            resume=args.resume or None,
             log_every=args.log_every)
         if dc is not None:
             fitted, alive, hist = out
@@ -308,6 +305,9 @@ def main():
         out = dp.fit_scene_dp(
             start, targets, cams, cfg, tc, mesh=dp.make_mesh(ndev),
             width=args.width, height=args.height, dc=dc, seed=args.seed,
+            save_every=args.save_every,
+            checkpoint_path=args.ckpt or args.output + ".ckpt.npz",
+            resume=args.resume or None,
             log_every=args.log_every)
         if dc is not None:
             fitted, alive, hist = out

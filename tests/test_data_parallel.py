@@ -188,3 +188,49 @@ def test_dp_adc_parity_with_single_device():
         np.testing.assert_allclose(
             np.asarray(p2[k]), np.asarray(p1[k]),
             rtol=2e-4, atol=1e-6, err_msg=f"dp+ADC diverged on {k}")
+
+
+def test_dp_adc_kill_and_resume_matches(tmp_path):
+    """A dp+ADC run checkpointed at step 4 and resumed replays the
+    uninterrupted 8-step run exactly (replicated state + densify state +
+    RNG round-trip through the npz)."""
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        TrainConfig as TCfg, camera_bundles,
+    )
+    from openglgaussiansplattingrenderer_tpu.io import ply as ply_io
+    from openglgaussiansplattingrenderer_tpu.render import render_arrays
+
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cams = [Camera(0.4 * i - 0.2, 0.2, -4.0, width=W, height=H)
+            for i in range(2)]
+    bundles = camera_bundles(cams)
+    targets = [np.asarray(render_arrays(full, *b, W, H, CFG)[0][..., :3])
+               for b in bundles]
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=3,
+                          stop_step=8)
+    tc = TCfg(steps=8, lambda_dssim=0.0, lr_means=3e-3)
+    mesh = dp.make_mesh(2)
+
+    ref, alive_ref, _ = dp.fit_scene_dp(
+        start, targets, cams, CFG, tc, mesh=mesh, batch=2, dc=dc, seed=5,
+        verbose=False)
+    mid = str(tmp_path / "dp.ckpt.npz")
+    tc4 = TCfg(steps=4, lambda_dssim=0.0, lr_means=3e-3)
+    dp.fit_scene_dp(start, targets, cams, CFG, tc4, mesh=mesh, batch=2,
+                    dc=dc, seed=5, verbose=False, save_every=4,
+                    checkpoint_path=mid)
+    res, alive_res, _ = dp.fit_scene_dp(
+        start, targets, cams, CFG, tc, mesh=mesh, batch=2, dc=dc, seed=5,
+        verbose=False, resume=mid)
+    np.testing.assert_array_equal(np.asarray(alive_ref),
+                                  np.asarray(alive_res))
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(res[k]),
+            err_msg=f"dp resume diverged on {k}")

@@ -204,3 +204,45 @@ def test_2d_adc_parity_with_1x1_mesh():
         np.testing.assert_allclose(
             np.asarray(p24[k]), np.asarray(p11[k]),
             rtol=2e-4, atol=1e-6, err_msg=f"2d+ADC diverged on {k}")
+
+
+def test_2d_adc_kill_and_resume_matches(tmp_path):
+    """A mesh2d+ADC run checkpointed at step 4 (sharded state gathered to
+    one npz) and resumed (re-placed P(splat)) replays the uninterrupted
+    8-step run exactly."""
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+
+    scene = ply_io.make_synthetic_scene(20, seed=11, extent=1.2)
+    scene["opacities"] = np.clip(scene["opacities"], 0.5, 0.9)
+    full = {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}
+    cams = [Camera(0.4 * i - 0.2, 0.2, -4.0, width=W, height=H)
+            for i in range(2)]
+    bundles = camera_bundles(cams)
+    targets = []
+    for b in bundles:
+        img, _ = render_fast(full, *b, W, H, CFG)
+        targets.append(np.asarray(img[..., :3]))
+    start = {k: np.asarray(v)[:6] for k, v in full.items()}
+    dc = dn.DensifyConfig(capacity=24, grad_threshold=1e-6,
+                          scene_extent=1.2, start_step=0, interval=3,
+                          stop_step=8)
+    tc = TrainConfig(steps=8, lambda_dssim=0.0, lr_means=3e-3)
+    mesh = mesh2d.make_mesh2d(2, 4)
+
+    ref, alive_ref, _ = mesh2d.fit_scene_2d(
+        start, targets, cams, CFG, tc, mesh=mesh, batch=2, dc=dc, seed=5,
+        verbose=False)
+    mid = str(tmp_path / "m2.ckpt.npz")
+    tc4 = TrainConfig(steps=4, lambda_dssim=0.0, lr_means=3e-3)
+    mesh2d.fit_scene_2d(start, targets, cams, CFG, tc4, mesh=mesh, batch=2,
+                        dc=dc, seed=5, verbose=False, save_every=4,
+                        checkpoint_path=mid)
+    res, alive_res, _ = mesh2d.fit_scene_2d(
+        start, targets, cams, CFG, tc, mesh=mesh, batch=2, dc=dc, seed=5,
+        verbose=False, resume=mid)
+    np.testing.assert_array_equal(np.asarray(alive_ref),
+                                  np.asarray(alive_res))
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(res[k]),
+            err_msg=f"mesh2d resume diverged on {k}")
