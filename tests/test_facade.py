@@ -75,3 +75,17 @@ def test_facade_autotune_capacity():
     img = s.render_camera(cam)
     assert int(s.last_stats["overflow"]) == 0
     assert img.max() > 0.01
+
+
+def test_render_config_validates_engine_typos():
+    """record_sort/depth_key typos fail loudly at construction instead of
+    silently selecting the other engine (round-3 advisor finding)."""
+    import pytest
+
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+
+    with pytest.raises(ValueError, match="record_sort"):
+        RenderConfig(record_sort="Radix")
+    with pytest.raises(ValueError, match="depth_key"):
+        RenderConfig(depth_key="packed ")
+    RenderConfig(record_sort="radix", depth_key="packed")  # valid combos

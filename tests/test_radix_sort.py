@@ -122,3 +122,16 @@ def test_radix_in_render_pipeline():
     img_rad, stats_rad = render_arrays(params, *args, cfg_r)
     np.testing.assert_array_equal(np.asarray(img_lax), np.asarray(img_rad))
     assert int(stats_lax["binned_records"]) == int(stats_rad["binned_records"])
+
+
+def test_radix_sort_smem_ceiling_raises_clearly():
+    """Past the hardware-validated scatter offset-table size the sort must
+    raise a clear ValueError, not surface a Mosaic allocation failure."""
+    import jax.numpy as jnp
+    import pytest
+
+    from openglgaussiansplattingrenderer_tpu.ops.pallas import radix_sort
+
+    keys = jnp.zeros(2_500_000, jnp.uint32)  # > the 2M-key ceiling
+    with pytest.raises(ValueError, match="SMEM offset table"):
+        radix_sort.radix_sort(keys, (), key_bits=8)

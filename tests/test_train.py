@@ -186,3 +186,25 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(ref[k]), np.asarray(resumed[k]),
             err_msg=f"resume diverged on {k}")
+
+
+def test_checkpoint_opt_leaves_order_past_ten(tmp_path):
+    """Optimizer leaves save as o_0..o_N; restoring must order them
+    numerically (o_2 < o_10), which lexicographic sorting would break."""
+    import jax
+
+    raw = {f"k{i}": jnp.arange(3, dtype=jnp.float32) + i for i in range(4)}
+    leaves = [jnp.full((2,), float(i)) for i in range(13)]  # > 10 leaves
+    treedef = jax.tree_util.tree_structure(leaves)
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    path = str(tmp_path / "c.npz")
+    trainer.save_checkpoint(path, raw, step=3, opt_state=opt_state)
+    _, step, extras = trainer.load_checkpoint_full(path)
+    assert step == 3
+    got = extras["opt_leaves"]
+    assert len(got) == 13
+    for i, leaf in enumerate(got):
+        np.testing.assert_array_equal(leaf, np.full((2,), float(i)))
+    restored = trainer.restore_opt_state(opt_state, got)
+    for a, b in zip(jax.tree_util.tree_leaves(restored), leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
