@@ -224,17 +224,24 @@ def fit_scene_dp(params: Dict[str, jnp.ndarray], targets, cameras,
     start_step = 0
     if resume:
         from openglgaussiansplattingrenderer_tpu.train.trainer import (
+            check_resume_shapes,
             load_checkpoint_full,
             restore_opt_state,
         )
 
         r_raw, start_step, extras = load_checkpoint_full(resume)
+        check_resume_shapes(raw, r_raw, resume)
         raw = replicate_tree(
             {k: jnp.asarray(v) for k, v in r_raw.items()}, mesh)
         if "opt_leaves" in extras:
             opt_state = replicate_tree(
                 restore_opt_state(opt_state, extras["opt_leaves"]), mesh)
         if dc is not None:
+            if "alive" not in extras:
+                raise ValueError(
+                    f"resume checkpoint {resume!r} carries no densify "
+                    "state (alive/grad_accum/...) -- was it saved from a "
+                    "run without adaptive density control?")
             alive = jnp.asarray(extras["alive"])
             grad_accum = jnp.asarray(extras["grad_accum"])
             seen_count = jnp.asarray(extras["seen_count"])

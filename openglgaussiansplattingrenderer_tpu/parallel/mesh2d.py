@@ -344,11 +344,13 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
     start_step = 0
     if resume:
         from openglgaussiansplattingrenderer_tpu.train.trainer import (
+            check_resume_shapes,
             load_checkpoint_full,
             restore_opt_state,
         )
 
         r_raw, start_step, extras = load_checkpoint_full(resume)
+        check_resume_shapes(raw, r_raw, resume)
         raw = shard_raw_2d({k: jnp.asarray(v) for k, v in r_raw.items()},
                            mesh)
         cap_rows = raw["means"].shape[0]
@@ -357,6 +359,11 @@ def fit_scene_2d(params, targets, cameras, cfg: RenderConfig,
                 restore_opt_state(opt_state, extras["opt_leaves"]),
                 mesh, cap_rows)
         if dc is not None:
+            if "alive" not in extras:
+                raise ValueError(
+                    f"resume checkpoint {resume!r} carries no densify "
+                    "state (alive/grad_accum/...) -- was it saved from a "
+                    "run without adaptive density control?")
             shd = NamedSharding(mesh, P(SPLAT_AXIS))
             alive = jax.device_put(jnp.asarray(extras["alive"]), shd)
             grad_accum = jax.device_put(

@@ -312,11 +312,17 @@ def fit_scene_adaptive(params, targets, cameras, cfg, dc: DensifyConfig,
     start_step = 0
     if resume:
         r_raw, start_step, extras = trainer.load_checkpoint_full(resume)
+        trainer.check_resume_shapes(raw, r_raw, resume)
         opt = (trainer.restore_opt_state(state.opt_state,
                                          extras["opt_leaves"])
                if "opt_leaves" in extras else state.opt_state)
         state = trainer.TrainState(
             {k: jnp.asarray(v) for k, v in r_raw.items()}, opt, start_step)
+        if "alive" not in extras:
+            raise ValueError(
+                f"resume checkpoint {resume!r} carries no densify state "
+                "(alive/grad_accum/...) -- was it saved from a run "
+                "without adaptive density control?")
         alive = jnp.asarray(extras["alive"])
         grad_accum = jnp.asarray(extras["grad_accum"])
         seen_count = jnp.asarray(extras["seen_count"])

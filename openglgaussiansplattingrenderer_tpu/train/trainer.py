@@ -244,6 +244,7 @@ def fit_scene(params: Dict[str, jnp.ndarray], targets, cameras,
     start_step = 0
     if resume:
         r_raw, start_step, extras = load_checkpoint_full(resume)
+        check_resume_shapes(raw, r_raw, resume)
         opt = (restore_opt_state(state.opt_state, extras["opt_leaves"])
                if "opt_leaves" in extras else state.opt_state)
         state = TrainState({k: jnp.asarray(v) for k, v in r_raw.items()},
@@ -306,9 +307,33 @@ def restore_opt_state(template, opt_leaves):
             f"checkpointed optimizer state has {len(opt_leaves)} leaves, "
             f"this optimizer wants {len(t_leaves)} -- was it saved with a "
             "different optimizer config or parameter set?")
-    leaves = [jnp.asarray(v, t.dtype).reshape(jnp.shape(t))
-              for v, t in zip(opt_leaves, t_leaves)]
+    for i, (v, t) in enumerate(zip(opt_leaves, t_leaves)):
+        if np.shape(v) != jnp.shape(t):
+            raise ValueError(
+                f"checkpointed optimizer leaf {i} has shape "
+                f"{np.shape(v)}, this run wants {jnp.shape(t)} -- was the "
+                "checkpoint saved at a different capacity / densify "
+                "configuration or parameter set?")
+    leaves = [jnp.asarray(v, t.dtype) for v, t in zip(opt_leaves, t_leaves)]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def check_resume_shapes(current_raw, loaded_raw, resume: str) -> None:
+    """Fail fast with a clear message when a resume checkpoint's parameter
+    shapes don't match the run being resumed (wrong capacity, different
+    scene, or an ADC run resumed from a non-ADC checkpoint)."""
+    missing = set(current_raw) - set(loaded_raw)
+    if missing:
+        raise ValueError(
+            f"resume checkpoint {resume!r} is missing parameters "
+            f"{sorted(missing)} this run trains")
+    for k, v in current_raw.items():
+        if np.shape(loaded_raw[k]) != jnp.shape(v):
+            raise ValueError(
+                f"resume checkpoint {resume!r}: parameter {k!r} has shape "
+                f"{np.shape(loaded_raw[k])}, this run wants "
+                f"{jnp.shape(v)} -- wrong capacity / densify "
+                "configuration / scene?")
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], int]:
