@@ -89,6 +89,20 @@ class RenderConfig:
     # The two-f32-key "pair" mode and the oracle path always use lax.sort.
     record_sort: str = "lax"
 
+    # Record-sort payload precision (fast path; depth_key="packed" +
+    # record_sort="lax" only):
+    #   "f32" - exact payload sort (default; training and the bench's
+    #           oracle gate use this).
+    #   "q16" - INFERENCE-ONLY speed mode: the 9 record fields ride the
+    #           dominant record sort packed into 5 u32 lanes (24-bit
+    #           fixed-point means, f16 conics+colours, 16-bit opacity),
+    #           cutting the sort's operand count 11 -> 6. Differentiating
+    #           through it raises. Image error is measured well inside the
+    #           reference's own CPU-vs-GPU assert tolerance of 0.01
+    #           (src/Splats.cpp:783-843) -- tests/test_q16.py; the bench
+    #           reports it as the separate `flagship_fps_inference` field.
+    sort_payload: str = "f32"
+
     # Static cap on records composited per tile by the jnp fallback compositor
     # (rounded up to chunk size). Overflow is dropped and counted in stats.
     # The Pallas compositor has no such cap (it streams ragged ranges).
@@ -155,6 +169,14 @@ class RenderConfig:
             raise ValueError(
                 f"depth_key must be 'pair', 'packed' or 'reference', got "
                 f"{self.depth_key!r}")
+        if self.sort_payload not in ("f32", "q16"):
+            raise ValueError(
+                f"sort_payload must be 'f32' or 'q16', got "
+                f"{self.sort_payload!r}")
+        if self.sort_payload == "q16" and self.record_sort != "lax":
+            raise ValueError(
+                "sort_payload='q16' packs lax.sort payload lanes; it does "
+                "not compose with record_sort='radix'")
 
     @property
     def num_tiles(self) -> int:

@@ -251,6 +251,11 @@ def render_fast(
         raise ValueError(
             "record_sort='radix' needs a single-key sort: depth_key='packed' "
             "or hoist_depth_sort=True (the 'pair' mode is two f32 keys)")
+    if cfg.sort_payload == "q16" and (cfg.hoist_depth_sort
+                                      or cfg.depth_key != "packed"):
+        raise ValueError(
+            "sort_payload='q16' packs the single-key record sort: it needs "
+            "depth_key='packed' with hoist_depth_sort=False")
     if use_radix:
         from openglgaussiansplattingrenderer_tpu.ops.pallas import (
             radix_sort as rx)
@@ -280,18 +285,31 @@ def render_fast(
             (jnp.clip(rec_sm[rk.NUM_FIELDS + 1, :], 0.0, 1.0)
              * (1 << 22)).astype(jnp.uint32), q - 1)
         key = tile_key.astype(jnp.uint32) * q + qd
-        # PROFILING-ONLY knob (scripts/sort_operand_probe.py): carry just
-        # the first k payload fields through the record sort, the rest
-        # bypass UNSORTED -- images are WRONG for k < 9; identical shapes/
-        # compute elsewhere, isolating the sort's in-pipeline operand-count
-        # cost (VERDICT r3 weak #5: the standalone probe's numbers were not
-        # comparable to the in-pipeline sort). Unset = full payload sort.
+        # PROFILING-ONLY knob (scripts/profile_stages.py operand probe,
+        # RESULTS.md "sort operand curve"): carry just the first k payload
+        # fields through the record sort, the rest bypass UNSORTED --
+        # images are WRONG for k < 9; identical shapes/compute elsewhere,
+        # isolating the sort's in-pipeline operand-count cost (VERDICT r3
+        # weak #5: the standalone probe's numbers were not comparable to
+        # the in-pipeline sort). Unset = full payload sort.
         import os as _os
 
         _prof_k = int(_os.environ.get("GS_PROF_SORT_PAYLOADS", "-1"))
         if _prof_k >= 0 and not use_radix:
+            import warnings
+
+            warnings.warn(
+                f"GS_PROF_SORT_PAYLOADS={_prof_k} is set: only the first "
+                f"{_prof_k} of 9 record fields ride the sort -- rendered "
+                "images are WRONG (profiling-only knob; unset it for "
+                "correct output)", RuntimeWarning, stacklevel=2)
             sk2, _, sfk = rk.sort_with_payload(key, rec_fields[:_prof_k])
             sf2 = tuple(sfk) + rec_fields[_prof_k:]
+        elif cfg.sort_payload == "q16":
+            # inference precision mode: 9 fields packed to 5 u32 sort
+            # lanes (records.sort_records_q16); 11 -> 6 sort operands
+            wp_q, hp_q = padded_dims(width, height, cfg)
+            sk2, sf2 = rk.sort_records_q16(key, rec_fields, wp_q, hp_q)
         elif use_radix:
             kb = 22 + max(1, int(t).bit_length())  # tile ids 0..t
             sk2, _, sf2 = rx.radix_sort_with_payload(key, rec_fields, kb)

@@ -60,12 +60,20 @@ import os as _os
 # but 512 < 768 absolute at OB=256). Env knob for the hardware sweep
 # (scripts/sweep_expand.py); binds at trace time.
 OB = int(_os.environ.get("GS_EXP_OB", "512"))
+if OB < 128 or OB > 4096 or OB & (OB - 1):
+    raise ValueError(
+        f"GS_EXP_OB={OB}: expand sub-block size must be a power of two in "
+        "[128, 4096] (sweep knob, scripts/sweep_expand.py)")
 IB = -(-(128 + OB + 1) // 128) * 128
 SB = 512          # splats per segment-sum grid step
 ICH = 512         # record chunk per segment-sum inner step
 # expand sub-blocks per grid step (amortizes per-step overhead, measured
 # ~1.5 us/step; env knob for hardware sweeps, binds at trace time)
 EXP_OUTER = int(_os.environ.get("GS_EXP_OUTER", "8"))
+if EXP_OUTER < 1 or EXP_OUTER > 64:
+    raise ValueError(
+        f"GS_EXP_OUTER={EXP_OUTER}: expand outer-block count must be in "
+        "[1, 64] (sweep knob, scripts/sweep_expand.py)")
 
 
 def round_up(x: int, m: int) -> int:
@@ -272,6 +280,113 @@ def _smp_bwd(res, g):
 
 
 sort_multi_with_payload.defvjp(_smp_fwd, _smp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# quantized-payload record sort (the "q16" inference precision mode)
+# ---------------------------------------------------------------------------
+# The record sort moves its payload operands through every merge pass, and
+# the in-pipeline operand probe measured ~5.2 ms/operand at the flagship
+# capacity (RESULTS.md r4 "sort operand curve": key+idx only 14.3 ms vs
+# 61.1 ms with all 9 f32 fields). Inference does not need bit-exact f32
+# fields, so this mode packs the 9 fields into FIVE u32 lanes before the
+# sort and unpacks after:
+#
+#   w0 = mx:24-bit fixed over [-wp, 2*wp)  | opacity[15:8]
+#   w1 = my:24-bit fixed over [-hp, 2*hp)  | opacity[7:0]
+#   w2 = conic A (f16) << 16 | conic B (f16)
+#   w3 = conic C (f16) << 16 | red   (f16)
+#   w4 = green   (f16) << 16 | blue  (f16)
+#
+# Error budget (all measured end-to-end by tests/test_q16.py and gated in
+# bench.py against the f32 image): 24-bit means -> <= 1.8e-4 px at 1024 wide
+# (a power error ~1e-3 at the steepest alpha slope); f16 conics -> 4.9e-4
+# relative, <= ~3e-3 absolute power at the 1/255 cutoff; f16 colours ->
+# <= 0.12/255 units; 16-bit opacity -> 1.5e-5. Everything lands well inside
+# the reference's own CPU-vs-GPU assert tolerance of 0.01
+# (/root/reference/src/Splats.cpp:783-843). Means outside [-wp, 2*wp) x
+# [-hp, 2*hp) clamp to the range edge (a splat that far off-screen with a
+# rect still touching the image is a degenerate giant; the bench gate
+# measures the aggregate effect).
+#
+# INFERENCE ONLY: quantization is not usefully differentiable (round/clamp
+# have zero gradient a.e.), so the custom backward raises instead of
+# silently returning zero cotangents. Training paths keep the f32 sort.
+
+_Q16_POS_BITS = 24
+
+
+def _q16_pack(fields, wp: int, hp: int):
+    mx, my, A, B, C, op, r, g, b = fields
+    m = jnp.uint32((1 << _Q16_POS_BITS) - 1)
+
+    def fix24(x, lo, hi):
+        s = float(m) / (hi - lo)
+        return jnp.clip(jnp.round((x - lo) * s), 0.0, float(m)) \
+            .astype(jnp.uint32)
+
+    def f16(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+
+    opq = jnp.clip(jnp.round(op * 65535.0), 0.0, 65535.0).astype(jnp.uint32)
+    w0 = fix24(mx, -wp, 2.0 * wp) * jnp.uint32(256) + (opq >> 8)
+    w1 = fix24(my, -hp, 2.0 * hp) * jnp.uint32(256) + (opq & jnp.uint32(255))
+    w2 = f16(A) * jnp.uint32(65536) + f16(B)
+    w3 = f16(C) * jnp.uint32(65536) + f16(r)
+    w4 = f16(g) * jnp.uint32(65536) + f16(b)
+    return (w0, w1, w2, w3, w4)
+
+
+def _q16_unpack(words, wp: int, hp: int):
+    w0, w1, w2, w3, w4 = words
+    m = jnp.uint32((1 << _Q16_POS_BITS) - 1)
+
+    def unfix24(q, lo, hi):
+        s = (hi - lo) / float(m)
+        return q.astype(jnp.float32) * s + lo
+
+    def unf16(q):
+        return jax.lax.bitcast_convert_type(
+            q.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+    mx = unfix24(w0 >> 8, -wp, 2.0 * wp)
+    my = unfix24(w1 >> 8, -hp, 2.0 * hp)
+    op = (((w0 & jnp.uint32(255)) * jnp.uint32(256)
+           + (w1 & jnp.uint32(255))).astype(jnp.float32) / 65535.0)
+    A, B = unf16(w2 >> 16), unf16(w2 & jnp.uint32(65535))
+    C, r = unf16(w3 >> 16), unf16(w3 & jnp.uint32(65535))
+    g, b = unf16(w4 >> 16), unf16(w4 & jnp.uint32(65535))
+    return (mx, my, A, B, C, op, r, g, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sort_records_q16(key, fields: Tuple[jnp.ndarray, ...], wp: int, hp: int):
+    """Stable single-key record sort with the 9 fields packed to 5 u32
+    payload lanes (see the q16 block comment). Returns (sorted_key,
+    unpacked sorted fields). ``wp``/``hp`` are the padded image dims (the
+    fixed-point position range). Inference-only: differentiating through
+    it raises."""
+    if len(fields) != NUM_FIELDS:
+        raise ValueError(f"q16 sort packs exactly {NUM_FIELDS} fields, "
+                         f"got {len(fields)}")
+    out = jax.lax.sort((key,) + _q16_pack(fields, wp, hp), num_keys=1,
+                       is_stable=True)
+    return out[0], _q16_unpack(out[1:], wp, hp)
+
+
+def _q16_fwd(key, fields, wp, hp):
+    return sort_records_q16(key, fields, wp, hp), None
+
+
+def _q16_bwd(wp, hp, res, g):
+    raise NotImplementedError(
+        "sort_payload='q16' is an inference-only precision mode: the "
+        "quantized record sort has no useful gradient (round/clamp are "
+        "flat a.e.). Train with sort_payload='f32'.")
+
+
+sort_records_q16.defvjp(_q16_fwd, _q16_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -221,13 +221,22 @@ def render_fast_sharded(params, view, vp, focal_x, focal_y, tan_fovx,
 def train_step_fast_sharded(raw, opt_state, target, view, vp, focal_x,
                             focal_y, tan_fovx, tan_fovy, *, width: int,
                             height: int, cfg: RenderConfig, mesh, optimizer,
-                            axis: str = AXIS, exch_factor: float = 2.0):
+                            axis: str = AXIS, exch_factor: float = 2.0,
+                            lambda_dssim: float = 0.2):
     """One jittable sharded training step on the fast (Pallas) path.
 
     Like ``train/trainer.py`` and ``parallel.sharded.sharded_train_step``,
     optimisation happens in raw (pre-activation) space so updates cannot push
     activations out of range; ``raw`` is a ``trainer.raw_from_params`` pytree
     sharded over the mesh.
+
+    The loss is the 3DGS objective (1-lambda)*L1 + lambda*D-SSIM
+    (``losses.gs_loss``, the same objective the single-chip trainer
+    defaults to): the render's tile outputs are assembled into the global
+    (GSPMD-sharded) image outside ``shard_map``, so the windowed SSIM conv
+    compiles with XLA's own halo exchange. ``lambda_dssim=0`` gives pure
+    L1. (The 2-D view x splat path, ``parallel/mesh2d.py``, keeps the loss
+    inside ``shard_map`` with an explicit border-strip halo exchange.)
 
     Returns ``(raw, opt_state, loss, stats)``. ``stats["overflow"]`` counts
     records this step dropped (local capacity + exchange buckets combined);
@@ -236,13 +245,14 @@ def train_step_fast_sharded(raw, opt_state, target, view, vp, focal_x,
     ``exch_factor`` (``= ndev`` guarantees zero exchange drops) or the
     capacity when it fires.
     """
+    from openglgaussiansplattingrenderer_tpu.train import losses
     from openglgaussiansplattingrenderer_tpu.train.trainer import params_from_raw
 
     def loss_fn(raw):
         img, stats = render_fast_sharded(
             params_from_raw(raw), view, vp, focal_x, focal_y, tan_fovx,
             tan_fovy, width, height, cfg, mesh, axis, exch_factor)
-        return jnp.mean((img[..., :3] - target) ** 2), stats
+        return losses.gs_loss(img[..., :3], target, lambda_dssim), stats
 
     (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(raw)
     updates, opt_state = optimizer.update(grads, opt_state, raw)

@@ -13,10 +13,15 @@ module runs the splat-sharded render under a 2-D
   with the unmodified ``_fast_shard_fn`` body (its collectives name only
   the ``splat`` axis, so the all-to-all exchange and stat psums stay
   row-local ICI traffic),
-- the loss is computed per owned tile (no chip ever assembles a full
-  image): each chip scores its round-robin tile stripe against the
-  matching stripe of the tiled target, one ``psum`` over BOTH axes yields
-  the replicated batch loss,
+- the loss is the full 3DGS objective (1-lambda)*L1 + lambda*D-SSIM
+  (``losses.gs_loss``), computed per owned tile -- no chip ever assembles
+  a full image. L1 is per-pixel and therefore tile-local; D-SSIM's 11x11
+  window needs a 5-px halo of neighbouring tiles' pixels, exchanged as
+  border strips via one ``all_gather`` of O(tiles * border) pixels (tiny
+  next to the record exchange): each owner assembles halo-padded tiles,
+  evaluates the shared ``losses.ssim_map`` windowed statistics on them,
+  and masks to the windows whose centre pixel it owns. One ``psum`` over
+  BOTH axes yields the replicated batch loss,
 - the backward pass needs no hand-written cross-row sync: ``raw`` enters
   ``shard_map`` replicated over ``view``, so its cotangents are psummed
   over the view axis by the shard_map transpose itself; the optimizer
@@ -45,6 +50,7 @@ from openglgaussiansplattingrenderer_tpu.parallel.fast_sharded import (
     exchange_capacity,
 )
 from openglgaussiansplattingrenderer_tpu.parallel.sharded import shard_map
+from openglgaussiansplattingrenderer_tpu.train import losses
 from openglgaussiansplattingrenderer_tpu.train.trainer import (
     TrainConfig,
     make_optimizer,
@@ -54,8 +60,70 @@ from openglgaussiansplattingrenderer_tpu.train.trainer import (
 VIEW_AXIS = "view"
 SPLAT_AXIS = "splat"
 
+# D-SSIM's 11x11 window reaches 5 px past a tile's edge: the halo width of
+# neighbouring tiles' pixels each owner gathers before windowing.
+HALO = 5
+
 __all__ = ["make_mesh2d", "tile_target", "shard_raw_2d",
            "make_2d_train_step", "fit_scene_2d", "VIEW_AXIS", "SPLAT_AXIS"]
+
+
+def _padded_tiles(center, strips, my_tiles, gx, gy, row_of):
+    """Assemble halo-padded tiles (tpd, ph+2h, pw+2h, C) for the owned tile
+    subset from border strips of ALL tiles.
+
+    ``center``: (tpd, ph, pw, C) owned tiles' pixels. ``strips`` =
+    (tops, bots, lefts, rights): (rows, h, pw, C) / (rows, ph, h, C) strips
+    of every tile, in whatever row layout the caller holds them (global
+    tile order for the replicated target; owner-major ``all_gather`` order
+    for the prediction) -- ``row_of`` maps a global tile id array to that
+    layout's row index. Out-of-grid halos are zero-filled; the window mask
+    (``_window_mask``) excludes every window that could touch them, so the
+    fill value never reaches the loss.
+    """
+    tops, bots, lefts, rights = strips
+    h = tops.shape[1]
+    ty, tx = my_tiles // gx, my_tiles % gx
+
+    def nbr(strip, dy, dx, sl=None):
+        ny, nx = ty + dy, tx + dx
+        ok = (ny >= 0) & (ny < gy) & (nx >= 0) & (nx < gx)
+        t2 = jnp.clip(ny, 0, gy - 1) * gx + jnp.clip(nx, 0, gx - 1)
+        s = strip[row_of(t2)]
+        if sl is not None:
+            s = s[:, :, sl]
+        return jnp.where(ok[:, None, None, None], s, 0.0)
+
+    top = jnp.concatenate([nbr(bots, -1, -1, slice(-h, None)),
+                           nbr(bots, -1, 0),
+                           nbr(bots, -1, 1, slice(None, h))], axis=2)
+    bot = jnp.concatenate([nbr(tops, 1, -1, slice(-h, None)),
+                           nbr(tops, 1, 0),
+                           nbr(tops, 1, 1, slice(None, h))], axis=2)
+    mid = jnp.concatenate([nbr(rights, 0, -1), center, nbr(lefts, 0, 1)],
+                          axis=2)
+    return jnp.concatenate([top, mid, bot], axis=1)
+
+
+def _tile_strips(tiles4):
+    """(T, ph, pw, C) -> the four HALO-wide border strips."""
+    return (tiles4[:, :HALO], tiles4[:, -HALO:],
+            tiles4[:, :, :HALO], tiles4[:, :, -HALO:])
+
+
+def _window_mask(my_tiles, gx, ph, pw, width, height):
+    """(tpd, ph, pw) mask of SSIM windows whose centre pixel this chip owns
+    and whose 11x11 extent stays inside the TRUE image -- summed over all
+    tiles it selects exactly the (height-10) x (width-10) VALID windows the
+    single-chip ``losses.ssim`` means over (pad pixels beyond width/height
+    and zero-filled out-of-grid halos are never reached)."""
+    h = HALO
+    ty, tx = my_tiles // gx, my_tiles % gx
+    gy_pix = ty[:, None] * ph + jnp.arange(ph, dtype=jnp.int32)[None, :]
+    gx_pix = tx[:, None] * pw + jnp.arange(pw, dtype=jnp.int32)[None, :]
+    okr = (gy_pix >= h) & (gy_pix < height - h)
+    okc = (gx_pix >= h) & (gx_pix < width - h)
+    return (okr[:, :, None] & okc[:, None, :]).astype(jnp.float32)
 
 
 def make_mesh2d(dv: int, ds: int) -> Mesh:
@@ -100,9 +168,12 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
 
     ``batch`` views per optimizer step (default: one per view-row; must be
     a multiple of ``dv`` -- each row renders ``batch // dv`` views
-    sequentially). The loss is the batch-mean pixel MSE over the rgb
-    channels (matching ``train_step_fast_sharded``; D-SSIM is a windowed
-    cross-tile stencil and stays on the single-chip/dp paths).
+    sequentially). The loss is the batch mean of the per-view 3DGS
+    objective (1-lambda)*L1 + lambda*D-SSIM (``losses.gs_loss``), the same
+    objective the single-chip and data-parallel paths train: L1 is scored
+    per owned tile; D-SSIM runs on halo-padded tiles after a border-strip
+    ``all_gather`` (see the module docstring). ``tc.lambda_dssim = 0``
+    skips the halo exchange entirely (pure L1).
 
     Step signature::
 
@@ -126,14 +197,6 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
     """
     dv = mesh.shape[VIEW_AXIS]
     ds = mesh.shape[SPLAT_AXIS]
-    if tc.lambda_dssim:
-        import warnings
-
-        warnings.warn(
-            "mesh2d training ignores lambda_dssim: D-SSIM is a windowed "
-            "cross-tile stencil; the 2-D mesh loss is per-owned-tile MSE "
-            "only (use the single-chip or data-parallel paths for D-SSIM)",
-            stacklevel=2)
     batch = batch or dv
     if batch % dv:
         raise ValueError(f"batch {batch} not a multiple of view rows {dv}")
@@ -148,6 +211,16 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
                              width, height, cfg)
     npix_valid = float(mask_np.sum())
     bg = np.asarray(cfg.background, np.float32)
+    wp, hp = padded_dims(width, height, cfg)
+    pw, ph = wp // cfg.grid_x, hp // cfg.grid_y
+    use_dssim = bool(tc.lambda_dssim)
+    if use_dssim and min(ph, pw) < HALO:
+        raise ValueError(
+            f"D-SSIM on the 2-D mesh needs tiles >= {HALO} px "
+            f"(got {pw}x{ph}); use tc.lambda_dssim=0 or a coarser grid")
+    if use_dssim and (height <= 2 * HALO or width <= 2 * HALO):
+        raise ValueError(
+            f"D-SSIM needs images > {2 * HALO} px, got {width}x{height}")
 
     def loss_body(raw_local, shift_local, tgt, view, vp, fx, fy, tfx, tfy,
                   mask):
@@ -160,8 +233,11 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
         d = jax.lax.axis_index(SPLAT_AXIS)
         my_tiles = d + ds * jnp.arange(tpd, dtype=jnp.int32)
         m_own = jnp.take(mask, my_tiles, axis=0)            # (tpd, P)
+        if use_dssim:
+            m_win = _window_mask(my_tiles, cfg.grid_x, ph, pw,
+                                 width, height)             # (tpd, ph, pw)
 
-        se_views = []
+        se_views, l1_views, ssim_views = [], [], []
         over = jnp.int32(0)
         for j in range(local_bs):
             if shift_local is not None:
@@ -177,12 +253,41 @@ def make_2d_train_step(cfg: RenderConfig, tc: TrainConfig, width: int,
             tgt_own = jnp.take(tgt[j], my_tiles, axis=0)    # (tpd, P, 3)
             se_views.append(
                 jnp.sum(((rgb - tgt_own) ** 2) * m_own[..., None]))
+            l1_views.append(
+                jnp.sum(jnp.abs(rgb - tgt_own) * m_own[..., None]))
+            if use_dssim:
+                # halo exchange: all_gather the 5-px border strips of every
+                # owned tile (O(tiles * border) pixels -- tiny next to the
+                # record exchange), assemble halo-padded tiles, window them
+                rgb4 = rgb.reshape(tpd, ph, pw, 3)
+                pstrips = tuple(
+                    jax.lax.all_gather(s, SPLAT_AXIS, axis=0, tiled=True)
+                    for s in _tile_strips(rgb4))
+                pred_pad = _padded_tiles(
+                    rgb4, pstrips, my_tiles, cfg.grid_x, cfg.grid_y,
+                    lambda t2: (t2 % ds) * tpd + t2 // ds)
+                tgt4 = tgt[j].reshape(cfg.num_tiles, ph, pw, 3)
+                tgt_pad = _padded_tiles(
+                    tgt4[my_tiles], _tile_strips(tgt4), my_tiles,
+                    cfg.grid_x, cfg.grid_y, lambda t2: t2)
+                smap = losses.ssim_map(pred_pad, tgt_pad)
+                ssim_views.append(jnp.sum(smap * m_win[..., None]))
             over = over + ov[0]
-        # one psum over BOTH axes -> replicated batch SSE / overflow
+        # one psum over BOTH axes -> replicated batch sums / overflow
         se_views = jax.lax.psum(jnp.stack(se_views), SPLAT_AXIS)
-        sse = jax.lax.psum(jnp.sum(se_views), VIEW_AXIS)
+        l1_v = jax.lax.psum(jnp.stack(l1_views), SPLAT_AXIS)
+        l1_mean = (jax.lax.psum(jnp.sum(l1_v), VIEW_AXIS)
+                   / (batch * npix_valid * 3.0))
+        if use_dssim:
+            ssim_v = jax.lax.psum(jnp.stack(ssim_views), SPLAT_AXIS)
+            nwin = float((height - 2 * HALO) * (width - 2 * HALO) * 3)
+            ssim_mean = (jax.lax.psum(jnp.sum(ssim_v), VIEW_AXIS)
+                         / (batch * nwin))
+            loss = ((1.0 - tc.lambda_dssim) * l1_mean
+                    + tc.lambda_dssim * (1.0 - ssim_mean) / 2.0)
+        else:
+            loss = l1_mean
         over = jax.lax.psum(over, VIEW_AXIS)  # ov already splat-psummed
-        loss = sse / (batch * npix_valid * 3.0)
         # mean of per-view PSNRs, matching fit_scene / data_parallel's
         # history metric (NOT -10 log10 of the batch-mean MSE)
         mse_views = jax.lax.stop_gradient(se_views) / (npix_valid * 3.0)

@@ -250,15 +250,22 @@ def densify_and_prune(
 def accumulate_grad_stats(
     grad_accum: jnp.ndarray,
     seen_count: jnp.ndarray,
-    means_grad: jnp.ndarray,
+    gnorm: jnp.ndarray,
     alive: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fold one step's dL/d means into the densify statistics. A splat
-    counts as *seen* when its gradient is nonzero (culled / off-screen
-    splats receive exactly-zero grads from the pipeline)."""
-    norm = jnp.linalg.norm(means_grad, axis=-1)
-    seen = alive & (norm > 0.0)
-    return grad_accum + jnp.where(seen, norm, 0.0), seen_count + seen
+    """Fold one step's per-splat positional-gradient NORM (the (N,)
+    ``densify_grad_norm`` metric from ``trainer.make_train_step``) into the
+    densify statistics. A splat counts as *seen* when its gradient is
+    nonzero (culled / off-screen splats receive exactly-zero grads from the
+    pipeline). Matches ``accumulate_grad_stats_batched`` with a batch of
+    one: a B-step sequential loop and one batched step advance the
+    accumulators identically."""
+    if gnorm.ndim != 1:
+        raise ValueError(
+            f"accumulate_grad_stats takes the per-splat (N,) grad norm, "
+            f"got shape {gnorm.shape} -- pass the densify_grad_norm metric")
+    seen = alive & (gnorm > 0.0)
+    return grad_accum + jnp.where(seen, gnorm, 0.0), seen_count + seen
 
 
 def accumulate_grad_stats_batched(

@@ -26,29 +26,39 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return jnp.outer(g, g)
 
 
-def ssim(pred: jnp.ndarray, target: jnp.ndarray, c1: float = 0.01 ** 2,
-         c2: float = 0.03 ** 2) -> jnp.ndarray:
-    """SSIM over (H, W, C) images in [0, 1], 11x11 Gaussian window."""
+def ssim_map(pred: jnp.ndarray, target: jnp.ndarray, c1: float = 0.01 ** 2,
+             c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """Per-window SSIM map over (..., H, W, C) images: VALID 11x11 Gaussian
+    windows -> (..., H-10, W-10, C). ``ssim`` is this map's mean; the
+    sharded training paths (parallel/mesh2d.py) evaluate the map on
+    halo-padded tiles and mean the masked windows themselves, so both paths
+    share one windowed-statistics implementation."""
     win = _gaussian_window()[:, :, None, None]                 # (11,11,1,1)
 
     def filt(x):
-        # depthwise conv: (H,W,C) -> NHWC conv with per-channel window
-        x4 = x[None]                                           # (1,H,W,C)
+        # depthwise conv: batch everything onto N of an NHWC conv
+        x4 = x.reshape((-1,) + x.shape[-3:])                   # (B,H,W,C)
         c = x4.shape[-1]
         w = jnp.tile(win, (1, 1, 1, c))                        # (11,11,1,C)
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x4, w, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c, precision="highest")[0]
+            feature_group_count=c, precision="highest")
+        return y.reshape(x.shape[:-3] + y.shape[-3:])
 
     mu_p, mu_t = filt(pred), filt(target)
     mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
     sig_p = filt(pred * pred) - mu_pp
     sig_t = filt(target * target) - mu_tt
     sig_pt = filt(pred * target) - mu_pt
-    s = ((2 * mu_pt + c1) * (2 * sig_pt + c2)) / (
+    return ((2 * mu_pt + c1) * (2 * sig_pt + c2)) / (
         (mu_pp + mu_tt + c1) * (sig_p + sig_t + c2))
-    return jnp.mean(s)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, c1: float = 0.01 ** 2,
+         c2: float = 0.03 ** 2) -> jnp.ndarray:
+    """SSIM over (H, W, C) images in [0, 1], 11x11 Gaussian window."""
+    return jnp.mean(ssim_map(pred, target, c1, c2))
 
 
 def dssim(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

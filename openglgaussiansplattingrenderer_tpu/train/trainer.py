@@ -327,6 +327,13 @@ def check_resume_shapes(current_raw, loaded_raw, resume: str) -> None:
         raise ValueError(
             f"resume checkpoint {resume!r} is missing parameters "
             f"{sorted(missing)} this run trains")
+    extra = set(loaded_raw) - set(current_raw)
+    if extra:
+        raise ValueError(
+            f"resume checkpoint {resume!r} carries parameters "
+            f"{sorted(extra)} this run does not train -- resuming would "
+            "silently drop them (was the checkpoint saved with sh_rest / "
+            "a different parameter set?)")
     for k, v in current_raw.items():
         if np.shape(loaded_raw[k]) != jnp.shape(v):
             raise ValueError(

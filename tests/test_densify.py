@@ -181,11 +181,43 @@ def test_reset_rows_zeroes_moments():
 def test_accumulate_counts_only_visible():
     accum = jnp.zeros((4,))
     seen = jnp.zeros((4,))
-    g = jnp.array([[1.0, 0, 0], [0, 0, 0], [0, 3.0, 4.0], [1, 1, 1]])
+    # the (N,) per-splat grad norm metric (trainer densify_grad_norm)
+    gnorm = jnp.array([1.0, 0.0, 5.0, 1.7])
     alive = jnp.array([True, True, True, False])
-    accum, seen = dn.accumulate_grad_stats(accum, seen, g, alive)
+    accum, seen = dn.accumulate_grad_stats(accum, seen, gnorm, alive)
     np.testing.assert_allclose(np.asarray(accum), [1.0, 0.0, 5.0, 0.0])
     np.testing.assert_allclose(np.asarray(seen), [1, 0, 1, 0])
+
+
+def test_accumulate_rejects_unnormed_grads():
+    """Passing the raw (N, 3) grad matrix instead of its per-splat norm
+    must fail loudly: jnp.linalg.norm(x, axis=-1) on a 1-D array would
+    silently produce a scalar that broadcasts to every splat (advisor r4
+    medium finding)."""
+    with pytest.raises(ValueError, match="grad norm"):
+        dn.accumulate_grad_stats(jnp.zeros((4,)), jnp.zeros((4,)),
+                                 jnp.ones((4, 3)), jnp.ones((4,), bool))
+
+
+def test_accumulate_matches_batched():
+    """B sequential accumulate_grad_stats calls == one batched call with
+    the summed norms / seen counts (the dp/mesh2d ADC contract)."""
+    rng = np.random.default_rng(3)
+    alive = jnp.array([True, True, False, True])
+    norms = [jnp.asarray(rng.uniform(0, 1, 4).astype(np.float32)
+                         * (rng.uniform(0, 1, 4) > 0.3))
+             for _ in range(3)]
+    a_seq = jnp.zeros((4,))
+    s_seq = jnp.zeros((4,))
+    for g in norms:
+        a_seq, s_seq = dn.accumulate_grad_stats(a_seq, s_seq, g, alive)
+    gsum = sum(jnp.where(g > 0, g, 0.0) for g in norms)
+    sinc = sum((g > 0).astype(jnp.float32) for g in norms)
+    a_b, s_b = dn.accumulate_grad_stats_batched(
+        jnp.zeros((4,)), jnp.zeros((4,)), gsum, sinc, alive)
+    np.testing.assert_allclose(np.asarray(a_seq), np.asarray(a_b),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_seq), np.asarray(s_b))
 
 
 def test_fit_adaptive_end_to_end():

@@ -59,11 +59,15 @@ def _stack_args(targets, bundles, cfg):
     return (tgt, view, vp, *sc)
 
 
-def _reference_update(raw, targets, bundles, param_keys):
-    """B sequential single-device fast-path grads -> mean -> one update."""
+def _reference_update(raw, targets, bundles, param_keys,
+                      lambda_dssim=TC.lambda_dssim):
+    """B sequential single-device fast-path grads -> mean -> one update,
+    on the SAME 3DGS objective the 2-D mesh trains (gs_loss)."""
+    from openglgaussiansplattingrenderer_tpu.train import losses
+
     def loss_of(raw, target, b):
         img, _ = render_fast(params_from_raw(raw), *b, W, H, CFG)
-        return jnp.mean((img[..., :3] - target) ** 2)
+        return losses.gs_loss(img[..., :3], target, lambda_dssim)
 
     grads = None
     loss_sum = 0.0
@@ -77,6 +81,40 @@ def _reference_update(raw, targets, bundles, param_keys):
     opt_state = optimizer.init(raw)
     updates, opt_state = optimizer.update(grads, opt_state, raw)
     return optax.apply_updates(raw, updates), loss_sum / len(targets)
+
+
+def test_halo_padded_ssim_equals_full_image_ssim():
+    """The distributed SSIM machinery (border-strip halos + padded-tile
+    windowing + centre-pixel mask) must reproduce losses.ssim on the full
+    image exactly: sum of masked window values / (H-10)(W-10)C == the
+    single-chip VALID-window mean."""
+    from openglgaussiansplattingrenderer_tpu.train import losses
+
+    rng = np.random.default_rng(5)
+    h = w = 32
+    gx = gy = 2
+    ph, pw = h // gy, w // gx
+    a = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    ref = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+
+    def tiles_of(x):
+        return jnp.asarray(
+            x.reshape(gy, ph, gx, pw, 3).transpose(0, 2, 1, 3, 4)
+            .reshape(gy * gx, ph, pw, 3))
+
+    ta, tb = tiles_of(a), tiles_of(b)
+    all_tiles = jnp.arange(gy * gx, dtype=jnp.int32)
+    pa = mesh2d._padded_tiles(ta, mesh2d._tile_strips(ta), all_tiles,
+                             gx, gy, lambda t: t)
+    pb = mesh2d._padded_tiles(tb, mesh2d._tile_strips(tb), all_tiles,
+                             gx, gy, lambda t: t)
+    m = mesh2d._window_mask(all_tiles, gx, ph, pw, w, h)
+    smap = losses.ssim_map(pa, pb)
+    got = float(jnp.sum(smap * m[..., None])
+                / ((h - 10) * (w - 10) * 3))
+    assert float(jnp.sum(m)) == (h - 10) * (w - 10)
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
 def test_tile_target_roundtrip():
@@ -160,7 +198,9 @@ def test_2d_loss_decreases_over_steps():
     opt_state = step.init(raw_s)
     args = _stack_args(targets, bundles, CFG)
     losses = []
-    for _ in range(15):
+    # the gs objective's L1 term descends linearly (MSE descended
+    # quadratically), so give Adam a few more steps than the r4 version
+    for _ in range(30):
         raw_s, opt_state, loss, _, _ = step(raw_s, opt_state, *args)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses
