@@ -269,6 +269,38 @@ def main():
         flag_fps[name] = 1000.0 / ms
         log(f"flagship {name}: {ms:.1f} ms/frame ({flag_fps[name]:.2f} fps)")
 
+    # ---- q16 inference mode at the flagship point (r5) -------------------
+    # The documented non-default precision mode: record-sort payloads packed
+    # to 5 u32 lanes (config.sort_payload docs). Gate: image error vs the
+    # exact f32 path must stay well inside the reference's own CPU-vs-GPU
+    # tolerance of 0.01 (src/Splats.cpp:783-843). The headline above stays
+    # on the exact f32 path; this is the separate inference figure.
+    qcfg = dataclasses.replace(fcfg, sort_payload="q16")
+    fq = jax.jit(functools.partial(render_arrays, width=FLAG_W,
+                                   height=FLAG_H, cfg=qcfg))
+    q_fps = {}
+    q_err = 0.0
+    for name, p in fparams.items():
+        img_f32, _ = ffwd(p, fview, fvp, *fcam_f)
+        t0 = time.time()
+        img_q, stq = fq(p, fview, fvp, *fcam_f)
+        fence(img_q)
+        err = float(jnp.max(jnp.abs(jnp.asarray(img_q)[..., :3]
+                                    - jnp.asarray(img_f32)[..., :3])))
+        q_err = max(q_err, err)
+        log(f"flagship q16 {name}: compile+run {time.time() - t0:.1f}s, "
+            f"img err vs f32 {err:.2e}")
+        assert err < 0.01, (
+            f"q16 inference image error {err} breaches the reference's own "
+            "0.01 tolerance -- refusing to report its fps")
+        t0 = time.time()
+        for _ in range(ITERS):
+            img_q, _ = fq(p, fview, fvp, *fcam_f)
+        fence(img_q)
+        ms = (time.time() - t0) / ITERS * 1000
+        q_fps[name] = 1000.0 / ms
+        log(f"flagship q16 {name}: {ms:.1f} ms/frame ({q_fps[name]:.2f} fps)")
+
     # flagship training step (fwd+bwd at the reference's own operating
     # point, uniform scene, default f32 grads) -- the north-star training
     # metric at bike-big scale; RESULTS.md r4 carries the per-stage budget
@@ -287,6 +319,48 @@ def main():
     log(f"flagship uniform fwd+bwd: {flag_fb_ms:.1f} ms/step")
 
     flag = min(flag_fps.values())   # honest floor: the worse statistics
+
+    # ---- trace-measured per-stage times at the flagship point (r5) -------
+    # VERDICT r4 weak #3: the roofline fields below are MODELS; these are
+    # hardware trace counters (jax.profiler device self-times) for the same
+    # frame the headline reports. Kernel identity (expand vs composite) is
+    # fixed by magnitude and cross-checked against profile_stages prefix
+    # timings in RESULTS.md r5. Never fatal to the bench line.
+    measured_fields = {}
+    try:
+        import shutil
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import trace_tools
+
+        tdir = "/tmp/bench_trace_flagship"
+        shutil.rmtree(tdir, ignore_errors=True)
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                img, _ = ffwd(fparams["uniform"], fview, fvp, *fcam_f)
+            fence(img)
+        table, _ = trace_tools.stage_table(tdir, 3)
+        if table:
+            # kernel identity at THIS operating point: expand > composite
+            # (r5 cross-check vs profile_stages: expand 18.5~18.8 model,
+            # composite kernel 14.7 of the 23.1 prefix stage). At 1080p
+            # the ordering flips (composite 28.8 > expand 6.3) -- these
+            # labels are only valid for the flagship trace taken here.
+            pf = sorted((v for k, v in table.items()
+                         if k.startswith("pallas-fwd")), reverse=True)
+            measured_fields = {
+                "sort_ms_trace": round(table.get("sort-fwd", 0.0), 2),
+                "expand_ms_trace": round(pf[0], 2) if pf else None,
+                "composite_ms_trace": (round(pf[1], 2)
+                                       if len(pf) > 1 else None),
+                "xla_glue_ms_trace": round(table.get("xla-glue", 0.0), 2),
+                "device_total_ms_trace": round(
+                    table.get("device-total", 0.0), 2),
+            }
+            log(f"trace-measured stages (uniform fwd): {measured_fields}")
+    except Exception as e:  # the bench line must never die on the trace
+        measured_fields = {"trace_error": str(e)[:200]}
 
     # roofline-model utilization at the measured flagship frame (VERDICT
     # r3 weak #4: one mfu/hbm_util figure in the bench line). Modeled, not
@@ -317,6 +391,10 @@ def main():
         "msplats_fwdbwd_1080p_vs_proxy": round(msplat_s / BASELINE_MSPLAT_S,
                                                4),
         "flagship_fwdbwd_ms": round(flag_fb_ms, 1),
+        "flagship_fps_inference": round(min(q_fps.values()), 2),
+        "flagship_fps_inference_uniform": round(q_fps["uniform"], 2),
+        "inference_img_err_vs_f32": round(q_err, 6),
+        **measured_fields,
         **util_fields,
     }))
 

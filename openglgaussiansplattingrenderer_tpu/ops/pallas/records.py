@@ -318,7 +318,7 @@ _Q16_POS_BITS = 24
 
 def _q16_pack(fields, wp: int, hp: int):
     mx, my, A, B, C, op, r, g, b = fields
-    m = jnp.uint32((1 << _Q16_POS_BITS) - 1)
+    m = (1 << _Q16_POS_BITS) - 1
 
     def fix24(x, lo, hi):
         s = float(m) / (hi - lo)
@@ -340,7 +340,7 @@ def _q16_pack(fields, wp: int, hp: int):
 
 def _q16_unpack(words, wp: int, hp: int):
     w0, w1, w2, w3, w4 = words
-    m = jnp.uint32((1 << _Q16_POS_BITS) - 1)
+    m = (1 << _Q16_POS_BITS) - 1
 
     def unfix24(q, lo, hi):
         s = (hi - lo) / float(m)

@@ -41,6 +41,8 @@ WITH_BWD = bool(int(os.environ.get("FLAGSHIP_BWD", "0")))
 # default follows RenderConfig.hoist_depth_sort (False since r3)
 HOIST = bool(int(os.environ.get("FLAGSHIP_HOIST", "0")))
 DEPTH_KEY = os.environ.get("FLAGSHIP_DEPTH_KEY", "pair")
+# "q16" = the packed-payload inference mode (needs DEPTH_KEY=packed)
+SORT_PAYLOAD = os.environ.get("FLAGSHIP_SORT_PAYLOAD", "f32")
 
 
 def log(*a):
@@ -81,7 +83,8 @@ def main():
     base = RenderConfig.for_resolution(WIDTH, HEIGHT, tile_px=TILE_PX,
                                        use_pallas=True, chunk=CHUNK,
                                        hoist_depth_sort=HOIST,
-                                       depth_key=DEPTH_KEY)
+                                       depth_key=DEPTH_KEY,
+                                       sort_payload=SORT_PAYLOAD)
     log(f"grid {base.grid_x}x{base.grid_y} ({base.num_tiles} tiles)")
 
     def fence(x):

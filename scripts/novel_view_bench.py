@@ -88,6 +88,21 @@ def main():
     R = importlib.import_module("openglgaussiansplattingrenderer_tpu.render")
 
     gt = ply_io.make_clustered_scene(GT_SPLATS, seed=3, extent=2.0)
+    # NV_GT_COLORS=correlated replaces the generator's UNCORRELATED random
+    # colors with a smooth low-frequency positional color field (sums of
+    # sinusoids over the splat means). VERDICT r4 weak #5: the holdout
+    # plateau was attributed to the speckle GT by argument only -- real
+    # captures have correlated texture, and this run tests whether the
+    # renderer or the scene is the limiter.
+    if os.environ.get("NV_GT_COLORS", "random") == "correlated":
+        m = np.asarray(gt["means"])
+        phase = [np.sin(1.3 * m[:, 0] + 0.7 * m[:, 1]),
+                 np.sin(0.9 * m[:, 1] - 1.1 * m[:, 2] + 2.0),
+                 np.sin(1.7 * m[:, 2] + 0.5 * m[:, 0] + 4.0)]
+        gt["colors"] = np.stack(
+            [(0.5 + 0.5 * p) * 255.0 for p in phase],
+            axis=1).astype(np.float32)
+        log("GT colors: correlated low-frequency positional field")
     gt_params = {k: jnp.asarray(v) for k, v in gt.items() if k != "sh_rest"}
     cams = make_poses(NPOSES, W, H)
     hold_idx = set(range(0, NPOSES, HOLDOUT_EVERY))

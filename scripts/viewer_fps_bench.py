@@ -52,6 +52,24 @@ def main():
     splats.autotune_capacity(cam)
     log(f"capacity autotuned: {splats.cfg.capacity_records} records")
 
+    # ---- render-bound fps (VERDICT r4 weak #6): the device render + u8
+    # host fetch alone -- no JPEG encode, no socket, no tunnel-fetch client.
+    # This is the number a LOCAL (untunneled) host's stream is bounded by;
+    # delivered fps below additionally pays encode + HTTP + tunnel RTT.
+    import time
+
+    import numpy as np
+
+    _ = splats.render_camera_u8(cam, fetch_stats=False)   # compile + warm
+    t0 = time.time()
+    n_r = 30
+    for _ in range(n_r):
+        frame = splats.render_camera_u8(cam, fetch_stats=False)
+    np.asarray(frame[0, 0])
+    render_ms = (time.time() - t0) / n_r * 1000
+    log(f"render-only (device render + u8 fetch): {render_ms:.1f} ms/frame "
+        f"({1000 / render_ms:.2f} fps)")
+
     srv = interactive.make_server(splats, cam, port=0)
     srv.stream_max_frames = FRAMES
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -76,6 +94,8 @@ def main():
         "splats": NUM_SPLATS, "res": f"{W}x{H}",
         "frames_delivered": n_frames,
         "stream_fps": stats["stream_fps"],
+        "render_only_ms": round(render_ms, 1),
+        "render_only_fps": round(1000 / render_ms, 2),
         "records": stats.get("num_records"),
         "capacity": splats.cfg.capacity_records,
     }), flush=True)

@@ -42,7 +42,7 @@ def test_two_process_render_matches_single(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=780)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -105,3 +105,56 @@ def test_two_process_render_matches_single(tmp_path):
     _, _, loss_1, _, over_1 = step2(raw2, opt2, tgt, view2, vp2, *sc2)
     assert int(over_1) == 0
     np.testing.assert_allclose(loss_mh, float(loss_1), rtol=1e-6, atol=1e-8)
+
+    # ---- ADC + checkpoint/resume across processes (r5 stretch) ---------
+    # The workers also ran: with_grad_norms step -> global densify_and_prune
+    # on the process-spanning sharded state -> checkpoint gathered to npz ->
+    # resume re-placed -> one more step. Replay the identical sequence on
+    # the single-process 2x2 mesh; the alive mask must match exactly and
+    # the post-resume loss to float tolerance.
+    import jax
+
+    from openglgaussiansplattingrenderer_tpu.train import densify as dn
+    from openglgaussiansplattingrenderer_tpu.train.trainer import (
+        load_checkpoint_full,
+        restore_opt_state,
+        save_checkpoint,
+    )
+
+    loss_mh_adc = float(np.load(tmp_path / "mh_adc_loss.npy"))
+    alive_mh = np.load(tmp_path / "mh_adc_alive.npy")
+
+    cap = 64
+    dc = dn.DensifyConfig(capacity=cap, grad_threshold=1e-9,
+                          scene_extent=1.5, start_step=0, interval=1)
+    tc = TrainConfig(lambda_dssim=0.0)
+    stepd = mesh2d.make_2d_train_step(
+        cfg, tc, 64, 64, m2, batch=2,
+        param_keys=tuple(sorted(raw.keys())), with_grad_norms=True)
+    rawd = mesh2d.shard_raw_2d(raw, m2)
+    optd = stepd.init(rawd)
+    rawd, optd, _, _, ovd, gnorm, seen = stepd(rawd, optd, tgt, view2, vp2,
+                                               *sc2)
+    assert int(ovd) == 0
+    alive = jnp.ones((cap,), bool)
+    ga, sc_cnt = dn.accumulate_grad_stats_batched(
+        jnp.zeros((cap,)), jnp.zeros((cap,)), gnorm, seen, alive)
+    rawd, alive, changed, _ = dn.densify_and_prune(
+        rawd, alive, ga, sc_cnt, jax.random.PRNGKey(0), dc)
+    optd = dn.reset_rows(optd, changed)
+    np.testing.assert_array_equal(alive_mh, np.asarray(alive),
+                                  err_msg="multihost ADC alive mask "
+                                  "diverged from single-process")
+
+    ck = str(tmp_path / "sp_adc.ckpt.npz")
+    save_checkpoint(ck, {k: np.asarray(v) for k, v in rawd.items()},
+                    step=1, opt_state=optd, alive=np.asarray(alive))
+    r_raw, _, extras = load_checkpoint_full(ck)
+    raw_r = mesh2d.shard_raw_2d(
+        {k: jnp.asarray(v) for k, v in r_raw.items()}, m2)
+    opt_r = restore_opt_state(stepd.init(raw_r), extras["opt_leaves"])
+    _, _, loss_f, _, ov2, _, _ = stepd(raw_r, opt_r, tgt, view2, vp2, *sc2)
+    assert int(ov2) == 0
+    np.testing.assert_allclose(loss_mh_adc, float(loss_f), rtol=1e-6,
+                               atol=1e-8,
+                               err_msg="multihost ADC+resume loss diverged")
