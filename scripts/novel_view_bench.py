@@ -39,6 +39,11 @@ NPOSES = int(os.environ.get("NV_POSES", "72"))
 HOLDOUT_EVERY = int(os.environ.get("NV_HOLDOUT_EVERY", "9"))
 STEPS = int(os.environ.get("NV_STEPS", "3000"))
 SEGMENT = int(os.environ.get("NV_SEGMENT", "500"))
+# densify trigger threshold (graphdeco's 2e-4 default). With the r5 ADC
+# statistic fix (the r4 accumulator degenerately marked every alive splat
+# a candidate, densifying straight to capacity), this calibration binds:
+# 2e-4 grows ~212k splats on this scene, 1e-4 grows more.
+GRAD_THRESHOLD = float(os.environ.get("NV_GRAD_THRESHOLD", "2e-4"))
 CKPT = os.environ.get("NV_CKPT", "/tmp/novel_view.ckpt.npz")
 GRID_PNG = os.environ.get("NV_GRID", "novel_view_grid.png")
 
@@ -71,6 +76,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache keys stable under source-line shifts (STATUS.md r5)
+    jax.config.update("jax_traceback_in_locations_limit", 0)
     log(f"device: {jax.devices()[0]}; CAP={CAP} GT={GT_SPLATS} "
         f"res={W}x{H} poses={NPOSES} steps={STEPS} segment={SEGMENT}")
 
@@ -141,6 +148,7 @@ def main():
     dc = densify.DensifyConfig(
         capacity=CAP, scene_extent=2.0, start_step=100,
         stop_step=int(STEPS * 0.8), interval=100,
+        grad_threshold=GRAD_THRESHOLD,
         opacity_reset_interval=int(os.environ.get("NV_OPACITY_RESET", "0")))
     tc_full = trainer.TrainConfig(steps=STEPS, lr_means=2e-4,
                                   lr_means_final=2e-6,

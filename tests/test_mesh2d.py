@@ -152,6 +152,50 @@ def test_2d_step_matches_sequential_mean(dv, ds, batch):
             rtol=2e-4, atol=1e-6, err_msg=f"2d update mismatch for {k}")
 
 
+def test_2d_gs_loss_nondivisible_resolution():
+    """34x34 on a 2x2 grid: tiles pad to 18px, the window mask must keep
+    exactly the (H-10)(W-10) VALID windows of the TRUE image -- halo
+    strips at the grid edge contain pad pixels no valid window reaches."""
+    w = h = 34
+    cfg = RenderConfig(grid_x=2, grid_y=2, chunk=32,
+                       dup_capacity_factor=8.0, max_per_tile=256)
+    scene = ply_io.make_synthetic_scene(48, seed=3, extent=1.5)
+    params = pad_scene_for_mesh(
+        {k: jnp.asarray(v) for k, v in scene.items() if k != "sh_rest"}, 4)
+    raw = raw_from_params(params)
+    keys = tuple(sorted(raw.keys()))
+    cams = [Camera(0.2 * i - 0.1, 0.1, -4.0, width=w, height=h)
+            for i in range(2)]
+    bundles = camera_bundles(cams)
+    rng = np.random.default_rng(2)
+    targets = [rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+               for _ in range(2)]
+
+    from openglgaussiansplattingrenderer_tpu.train import losses
+
+    def loss_of(raw, target, b):
+        img, _ = render_fast(params_from_raw(raw), *b, w, h, cfg)
+        return losses.gs_loss(img[..., :3], target, TC.lambda_dssim)
+
+    l_ref = float(np.mean([jax.jit(loss_of)(raw, jnp.asarray(t), b)
+                           for t, b in zip(targets, bundles)]))
+
+    mesh = mesh2d.make_mesh2d(2, 4)
+    step = mesh2d.make_2d_train_step(cfg, TC, w, h, mesh, batch=2,
+                                     param_keys=keys)
+    raw_s = mesh2d.shard_raw_2d(raw, mesh)
+    opt = step.init(raw_s)
+    tgt = jnp.stack([jnp.asarray(mesh2d.tile_target(t, w, h, cfg)[0])
+                     for t in targets])
+    view = jnp.stack([b[0] for b in bundles])
+    vp = jnp.stack([b[1] for b in bundles])
+    sc = [jnp.stack([jnp.asarray(b[i], jnp.float32) for b in bundles])
+          for i in (2, 3, 4, 5)]
+    _, _, loss_2d, _, over = step(raw_s, opt, tgt, view, vp, *sc)
+    assert int(over) == 0
+    assert abs(float(loss_2d) - l_ref) < 1e-5, (float(loss_2d), l_ref)
+
+
 @pytest.mark.slow
 def test_2d_step_multi_view_per_row():
     """batch > dv: each view-row renders batch//dv views sequentially."""

@@ -49,6 +49,23 @@ def test_render_cli_single_frame(tmp_path):
     assert "num_records" in r.stdout
 
 
+def test_render_cli_q16(tmp_path):
+    """--q16 routes through the packed-payload inference sort (Pallas path
+    in interpret mode on CPU) and still writes a frame."""
+    scene = _scene_file(tmp_path)
+    out = str(tmp_path / "out_q16.png")
+    r = subprocess.run(
+        [sys.executable, "scripts/render_cli.py", scene, "-o", out,
+         "--width", "64", "--height", "64", "--pos", "0", "0", "-4",
+         "--rot", "0", "0", "0", "--q16", "--chunk", "32",
+         "--capacity-factor", "32", "--stats", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "num_records" in r.stdout
+
+
 def test_render_cli_golden(tmp_path):
     scene = _scene_file(tmp_path, n=10)
     out = str(tmp_path / "gold.png")
