@@ -101,6 +101,12 @@ class RenderConfig:
     #           reference's own CPU-vs-GPU assert tolerance of 0.01
     #           (src/Splats.cpp:783-843) -- tests/test_q16.py; the bench
     #           reports it as the separate `flagship_fps_inference` field.
+    #           The SHARDED render honours it too (fast_sharded._q16_route):
+    #           fields ride the bucket sort, the ICI all-to-all (7 columns
+    #           instead of 11) and the owner merge (6 sort operands) packed
+    #           -- multi-chip serving's per-chip sorts and exchange traffic
+    #           shrink the same way (the sharded path ignores depth_key;
+    #           its merge key is always the packed u32 form in q16).
     sort_payload: str = "f32"
 
     # Static cap on records composited per tile by the jnp fallback compositor

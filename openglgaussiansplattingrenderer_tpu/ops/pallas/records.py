@@ -360,6 +360,14 @@ def _q16_unpack(words, wp: int, hp: int):
     return (mx, my, A, B, C, op, r, g, b)
 
 
+# NOTE on guard placement: a custom_vjp whose differentiable path sits
+# behind the integer words does NOT guard anything -- JAX prunes the int
+# region out of the gradient graph entirely (silent zero grads, no
+# error). Guards must span a float-in -> float-out region:
+# ``sort_records_q16`` below for the single-chip sort, and
+# ``parallel.fast_sharded._q16_route`` for the sharded
+# pack -> exchange -> merge pipeline (both raise in their backward).
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sort_records_q16(key, fields: Tuple[jnp.ndarray, ...], wp: int, hp: int):
     """Stable single-key record sort with the 9 fields packed to 5 u32

@@ -29,6 +29,11 @@ design SURVEY.md section 5 prescribes (long-context row):
   transpose scatter-adds cotangents), and the sorts re-sort cotangents via
   their custom VJPs. A splat duplicated across tiles owned by different
   chips receives the exact sum of its contributions (SURVEY.md hard part #5).
+- **q16 inference mode** (``cfg.sort_payload="q16"``, r5): the 9 fields
+  travel the bucket sort, the exchange and the merge packed into 5 u32
+  words (``_q16_route``; the single-chip q16 quantizer + the packed-u32
+  merge key) -- per-chip sort operands 13 -> 8 / 12 -> 6 and ICI bytes
+  7/11 of the f32 path. Inference-only: its backward raises.
 
 Per-chip sort/composite work is O(C/D) (records ride at most two local sorts
 of ~(1+exch_factor)·C/D rows), vs O(C) for the round-1 all-gather design.
@@ -77,6 +82,65 @@ def exchange_capacity(cfg: RenderConfig, n_local: int, ndev: int,
     return rk.round_up(max(int(cap_local * exch_factor / ndev), 128), 128)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _q16_route(fields9, tile, depth, rkey, pkey, rows, num_tiles, ndev,
+               tiles_per_dev, axis, wp, hp):
+    """The q16 bucket-sort -> all-to-all -> owner-merge region, one guarded
+    function (f32 fields in, (sf2, bounds) out). The 9 fields travel as 5
+    u32 words (records.q16_pack layout, bitcast to f32 so every exchange
+    column shares one dtype); the owner merge sorts ONE u32 key =
+    lt * 2^22 + 22-bit depth -- exactly the single-chip
+    ``depth_key="packed"`` quantization. Inference-only: the backward
+    raises (round/clip are flat a.e.; a silent zero-gradient would be a
+    trap, see records.q16_unpack's block comment)."""
+    words = tuple(
+        jax.lax.bitcast_convert_type(w, jnp.float32)
+        for w in rk._q16_pack(fields9, wp, hp))
+    cols = words + (tile, depth)                         # 7 columns
+    pad0 = jnp.zeros(rows, jnp.float32)
+    pad_cols = (pad0,) * 5 + (jnp.full(rows, jnp.float32(num_tiles)), pad0)
+    comb_key = jnp.concatenate([rkey, pkey])
+    comb = tuple(jnp.concatenate([f, pf])
+                 for f, pf in zip(cols, pad_cols))
+    out = jax.lax.sort((comb_key,) + comb, num_keys=1, is_stable=True)
+    packed = jnp.stack([f[0:rows] for f in out[1:]], axis=1)   # (rows, 7)
+
+    recv = jax.lax.all_to_all(packed, axis, split_axis=0, concat_axis=0,
+                              tiled=True)                # (rows, 7)
+
+    gtile = recv[:, 5].astype(jnp.int32)
+    lt = jnp.where(gtile < num_tiles, gtile // ndev, tiles_per_dev)
+    qd = jnp.minimum(
+        (jnp.clip(recv[:, 6], 0.0, 1.0) * (1 << 22)).astype(jnp.uint32),
+        jnp.uint32((1 << 22) - 1))
+    mkey = lt.astype(jnp.uint32) * jnp.uint32(1 << 22) + qd
+    wcols = tuple(jax.lax.bitcast_convert_type(recv[:, i], jnp.uint32)
+                  for i in range(5))
+    out2 = jax.lax.sort((mkey,) + wcols, num_keys=1, is_stable=True)
+    sf2 = rk._q16_unpack(out2[1:], wp, hp)
+    bounds_l = jnp.searchsorted(
+        out2[0], jnp.arange(tiles_per_dev + 1,
+                            dtype=jnp.uint32) * jnp.uint32(1 << 22),
+        side="left").astype(jnp.int32)
+    return tuple(sf2), bounds_l
+
+
+def _q16r_fwd(fields9, tile, depth, rkey, pkey, rows, num_tiles, ndev,
+              tiles_per_dev, axis, wp, hp):
+    return _q16_route(fields9, tile, depth, rkey, pkey, rows, num_tiles,
+                      ndev, tiles_per_dev, axis, wp, hp), None
+
+
+def _q16r_bwd(rows, num_tiles, ndev, tiles_per_dev, axis, wp, hp, res, g):
+    raise NotImplementedError(
+        "sort_payload='q16' is an inference-only precision mode: the "
+        "quantized sharded record exchange has no useful gradient. Train "
+        "with sort_payload='f32'.")
+
+
+_q16_route.defvjp(_q16r_fwd, _q16r_bwd)
+
+
 def _fast_shard_fn(params_local, view, vp, focal_x, focal_y, tan_fovx,
                    tan_fovy, *, width, height, cfg: RenderConfig, axis: str,
                    ndev: int, tiles_per_dev: int, cap_exch: int):
@@ -108,6 +172,7 @@ def _fast_shard_fn(params_local, view, vp, focal_x, focal_y, tan_fovx,
     # invalid records carry tile == num_tiles; num_tiles % ndev would alias
     # them onto a real chip, so send them to sentinel destination ndev
     dest = jnp.where(tile_i < num_tiles, tile_i % ndev, ndev)
+    q16 = cfg.sort_payload == "q16"
     fields11 = tuple(rec_sm[i, :] for i in range(rk.NUM_FIELDS)) + (
         tile, rec_sm[rk.NUM_FIELDS + 1, :])             # + tile, depth
 
@@ -133,30 +198,47 @@ def _fast_shard_fn(params_local, view, vp, focal_x, focal_y, tan_fovx,
     pkey = jnp.where(fill < cap_exch,
                      (p // cap_exch) * cap_exch + fill,
                      rows + cap_local + p)
-    # padding rows: zero fields, sentinel tile so owners sort them last
-    pad0 = jnp.zeros(rows, jnp.float32)
-    pad_fields = (pad0,) * rk.NUM_FIELDS + (
-        jnp.full(rows, jnp.float32(num_tiles)), pad0)
-    comb_key = jnp.concatenate([rkey, pkey])
-    comb_fields = tuple(jnp.concatenate([f, pf])
-                        for f, pf in zip(fields11, pad_fields))
-    _, _, sf_pack = rk.sort_with_payload(comb_key, comb_fields)
-    packed = jnp.stack([f[0:rows] for f in sf_pack], axis=1)  # (rows, 11)
+    if q16:
+        # q16 inference mode (config.sort_payload docs): the 9 float fields
+        # ride the bucket sort, the ICI exchange AND the owner-side merge
+        # packed into 5 u32 words -- sort operands drop 13 -> 8 (pack) /
+        # 12 -> 6 (merge), the all-to-all moves 7 columns instead of 11.
+        # One custom_vjp spans the whole quantized region (f32 fields in,
+        # f32 sorted fields out) so differentiating raises instead of
+        # silently zeroing gradients behind the int bitcasts.
+        from openglgaussiansplattingrenderer_tpu.ops.compositing import (
+            padded_dims,
+        )
 
-    # ---- the exchange (ICI all-to-all; transpose = reverse all-to-all) ---
-    recv = jax.lax.all_to_all(packed, axis, split_axis=0, concat_axis=0,
-                              tiled=True)               # (rows, 11)
+        wp_q, hp_q = padded_dims(width, height, cfg)
+        sf2, bounds_l = _q16_route(
+            fields11[:rk.NUM_FIELDS], tile, fields11[-1], rkey, pkey,
+            rows, num_tiles, ndev, tiles_per_dev, axis, wp_q, hp_q)
+    else:
+        # padding rows: zero fields, sentinel tile so owners sort them last
+        pad0 = jnp.zeros(rows, jnp.float32)
+        pad_fields = (pad0,) * rk.NUM_FIELDS + (
+            jnp.full(rows, jnp.float32(num_tiles)), pad0)
+        comb_key = jnp.concatenate([rkey, pkey])
+        comb_fields = tuple(jnp.concatenate([f, pf])
+                            for f, pf in zip(fields11, pad_fields))
+        _, _, sf_pack = rk.sort_with_payload(comb_key, comb_fields)
+        packed = jnp.stack([f[0:rows] for f in sf_pack], axis=1)  # (rows, 11)
 
-    # ---- owner-side (tile, depth) merge of D depth-ordered streams -------
-    gtile = recv[:, rk.NUM_FIELDS].astype(jnp.int32)
-    # owned tiles are g = lt*ndev + d; local index lt = g // ndev
-    lt = jnp.where(gtile < num_tiles, gtile // ndev, tiles_per_dev)
-    depth = recv[:, rk.NUM_FIELDS + 1]
-    fields9 = tuple(recv[:, i] for i in range(rk.NUM_FIELDS))
-    (lt_s, _), _, sf2 = rk.sort_multi_with_payload((lt, depth), fields9)
-    bounds_l = jnp.searchsorted(
-        lt_s, jnp.arange(tiles_per_dev + 1, dtype=jnp.int32),
-        side="left").astype(jnp.int32)
+        # ---- the exchange (ICI all-to-all; transpose = reverse a2a) ------
+        recv = jax.lax.all_to_all(packed, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)           # (rows, 11)
+
+        # ---- owner-side (tile, depth) merge of D depth-ordered streams ---
+        gtile = recv[:, rk.NUM_FIELDS].astype(jnp.int32)
+        # owned tiles are g = lt*ndev + d; local index lt = g // ndev
+        lt = jnp.where(gtile < num_tiles, gtile // ndev, tiles_per_dev)
+        depth = recv[:, rk.NUM_FIELDS + 1]
+        fields9 = tuple(recv[:, i] for i in range(rk.NUM_FIELDS))
+        (lt_s, _), _, sf2 = rk.sort_multi_with_payload((lt, depth), fields9)
+        bounds_l = jnp.searchsorted(
+            lt_s, jnp.arange(tiles_per_dev + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
 
     # ---- Pallas align + fused composite on the owned tile subset ---------
     my_tiles = d + ndev * jnp.arange(tiles_per_dev, dtype=jnp.int32)

@@ -155,12 +155,16 @@ def main():
                                   lr_means_decay_steps=STEPS)
 
     def holdout_eval(params):
-        ps = []
+        """Per-pose (PSNR, SSIM). SSIM matters on correlated-texture GT:
+        PSNR punishes coherent errors on smooth color fields much harder
+        than speckle, so the two GT families are not PSNR-comparable."""
+        ps, ss = [], []
         for c, t in zip(hold_cams, tgt_hold):
             img, _ = R.render_stats(params, c, cfg, W, H)
-            ps.append(float(losses.psnr(jnp.asarray(np.asarray(img)[..., :3]),
-                                        jnp.asarray(t))))
-        return ps
+            pred = jnp.asarray(np.asarray(img)[..., :3])
+            ps.append(float(losses.psnr(pred, jnp.asarray(t))))
+            ss.append(float(losses.ssim(pred, jnp.asarray(t))))
+        return ps, ss
 
     curve = []
     t_train0 = time.time()
@@ -175,16 +179,19 @@ def main():
             checkpoint_path=CKPT, resume=resume)
         resume = CKPT
         history_all += hist
-        hp = holdout_eval(fitted)
+        hp, hs = holdout_eval(fitted)
         train_psnr = hist[-1]["psnr"] if hist else float("nan")
         curve.append({"step": boundary,
                       "train_psnr": round(train_psnr, 2),
                       "holdout_psnr_mean": round(float(np.mean(hp)), 2),
                       "holdout_psnr_min": round(float(np.min(hp)), 2),
+                      "holdout_ssim_mean": round(float(np.mean(hs)), 4),
+                      "holdout_ssim_min": round(float(np.min(hs)), 4),
                       "alive": hist[-1]["alive"] if hist else None,
                       "wall_s": round(time.time() - t_train0, 1)})
         log(f"segment to {boundary}: train {train_psnr:.2f} dB, "
-            f"holdout {np.mean(hp):.2f} dB (min {np.min(hp):.2f})")
+            f"holdout {np.mean(hp):.2f} dB (min {np.min(hp):.2f}), "
+            f"ssim {np.mean(hs):.4f}")
 
     # ---- artifact: GT | fit grid over 4 holdout poses ---------------------
     rows = []
@@ -201,6 +208,7 @@ def main():
         "steps": STEPS,
         "final_train_psnr": final["train_psnr"],
         "final_holdout_psnr": final["holdout_psnr_mean"],
+        "final_holdout_ssim": final.get("holdout_ssim_mean"),
         "generalisation_gap_db": round(
             final["train_psnr"] - final["holdout_psnr_mean"], 2),
         "final_alive": final["alive"],

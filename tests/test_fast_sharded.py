@@ -230,6 +230,58 @@ def test_sharded_overflow_surfaces_and_warns():
     assert float(np.abs(np.asarray(img_of) - np.asarray(img_1)).max()) > 1e-3
 
 
+def test_fast_sharded_q16_inside_tolerance():
+    """q16 inference mode through the SHARDED path: fields ride the bucket
+    sort, the exchange and the owner merge packed to 5 u32 words. Must
+    match the exact f32 sharded render well inside the reference's own
+    0.01 CPU-vs-GPU tolerance, and differ from it (really quantized)."""
+    import dataclasses
+
+    params, args = _setup(512, seed=21)
+    mesh = fast_sharded.make_mesh(4)
+    cfg_q = dataclasses.replace(CFG, sort_payload="q16",
+                                depth_key="packed")
+
+    img_f, stats_f = fast_sharded.render_fast_sharded(
+        params, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+        args["tan_fovx"], args["tan_fovy"], W, H, CFG, mesh)
+    img_q, stats_q = fast_sharded.render_fast_sharded(
+        params, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+        args["tan_fovx"], args["tan_fovy"], W, H, cfg_q, mesh)
+    assert int(stats_f["overflow"]) == 0
+    assert int(stats_q["overflow"]) == 0
+    assert int(stats_q["num_records"]) == int(stats_f["num_records"])
+    err = float(jnp.max(jnp.abs(img_q[..., :3] - img_f[..., :3])))
+    assert 0.0 < err < 2e-3, err
+    # and it agrees with the SINGLE-CHIP q16 render at the same tolerance
+    # (the same quantizer applied at the same stage; only blend order of
+    # same-tile records within one 2^-22 depth bucket may differ)
+    img_q1, _ = render_fast(
+        params, jnp.asarray(args["view"]), jnp.asarray(args["vp"]),
+        args["focal_x"], args["focal_y"], args["tan_fovx"],
+        args["tan_fovy"], W, H, cfg_q)
+    np.testing.assert_allclose(np.asarray(img_q), np.asarray(img_q1),
+                               atol=2e-3)
+
+
+def test_fast_sharded_q16_backward_raises():
+    """Differentiating the sharded q16 render must fail loudly."""
+    import dataclasses
+
+    params, args = _setup(64, seed=5)
+    mesh = fast_sharded.make_mesh(4)
+    cfg_q = dataclasses.replace(CFG, sort_payload="q16")
+
+    def loss(p):
+        img, _ = fast_sharded.render_fast_sharded(
+            p, args["view"], args["vp"], args["focal_x"], args["focal_y"],
+            args["tan_fovx"], args["tan_fovy"], W, H, cfg_q, mesh)
+        return jnp.mean(img[..., :3])
+
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.jit(jax.grad(loss))(params)
+
+
 def test_fast_sharded_sh_colors_match_single():
     """View-dependent SH colour (degree 1) through the SHARDED fast path:
     effective_colors evaluates per local splat shard, so the exact-parity
