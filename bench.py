@@ -286,6 +286,7 @@ def main():
                                    height=FLAG_H, cfg=qcfg))
     q_fps = {}
     q_err = 0.0
+    q_ok = True
     for name, p in fparams.items():
         img_f32, _ = ffwd(p, fview, fvp, *fcam_f)
         t0 = time.time()
@@ -296,9 +297,13 @@ def main():
         q_err = max(q_err, err)
         log(f"flagship q16 {name}: compile+run {time.time() - t0:.1f}s, "
             f"img err vs f32 {err:.2e}")
-        assert err < 0.01, (
-            f"q16 inference image error {err} breaches the reference's own "
-            "0.01 tolerance -- refusing to report its fps")
+        if err >= 0.01:
+            # honest gate: never report an fps whose image breaches the
+            # reference's own 0.01 tolerance -- but never kill the bench
+            # line over the OPTIONAL mode either
+            log(f"WARNING: q16 error {err:.3e} >= 0.01 -- q16 fps withheld")
+            q_ok = False
+            continue
         t0 = time.time()
         for _ in range(ITERS):
             img_q, _ = fq(p, fview, fvp, *fcam_f)
@@ -397,8 +402,9 @@ def main():
         "msplats_fwdbwd_1080p_vs_proxy": round(msplat_s / BASELINE_MSPLAT_S,
                                                4),
         "flagship_fwdbwd_ms": round(flag_fb_ms, 1),
-        "flagship_fps_inference": round(min(q_fps.values()), 2),
-        "flagship_fps_inference_uniform": round(q_fps["uniform"], 2),
+        **({"flagship_fps_inference": round(min(q_fps.values()), 2),
+            "flagship_fps_inference_uniform": round(q_fps["uniform"], 2)}
+           if q_ok and q_fps else {"flagship_fps_inference": None}),
         "inference_img_err_vs_f32": round(q_err, 6),
         **measured_fields,
         **util_fields,

@@ -74,8 +74,18 @@ class Splats:
     rendered frames out."""
 
     def __init__(self, file_path: str, width: int, height: int,
-                 cfg: Optional[RenderConfig] = None):
+                 cfg: Optional[RenderConfig] = None,
+                 inference: bool = False):
+        """``inference=True`` switches the render config to the q16
+        inference precision mode (``sort_payload="q16"`` +
+        ``depth_key="packed"``, config.py docs): ~20% faster frames at
+        capture scale, image error gated well inside the reference's own
+        0.01 CPU-vs-GPU tolerance; rendering only -- gradients through
+        the facade then raise. Composes with an explicit ``cfg``."""
         self.cfg = cfg or RenderConfig()
+        if inference:
+            self.cfg = dataclasses.replace(
+                self.cfg, sort_payload="q16", depth_key="packed")
         self.scene = SplatScene.from_ply(file_path, self.cfg.color_scale)
         self.width = int(width)
         self.height = int(height)

@@ -89,3 +89,28 @@ def test_render_config_validates_engine_typos():
     with pytest.raises(ValueError, match="depth_key"):
         RenderConfig(depth_key="packed ")
     RenderConfig(record_sort="radix", depth_key="packed")  # valid combos
+
+
+def test_facade_inference_mode():
+    """Splats(..., inference=True) renders through the q16 packed-payload
+    sort and stays within the documented error budget of the exact path."""
+    import numpy as np
+
+    from openglgaussiansplattingrenderer_tpu.camera import Camera
+    from openglgaussiansplattingrenderer_tpu.config import RenderConfig
+    from openglgaussiansplattingrenderer_tpu.splats import Splats
+
+    cfg = RenderConfig(chunk=32, dup_capacity_factor=256.0)
+    s_f = Splats("/root/reference/testSingleItem.ply", 128, 128, cfg=cfg)
+    s_q = Splats("/root/reference/testSingleItem.ply", 128, 128, cfg=cfg,
+                 inference=True)
+    assert s_q.cfg.sort_payload == "q16"
+    assert s_q.cfg.depth_key == "packed"
+    cam = Camera(0, 0, -3.0, width=128, height=128)
+    img_f = s_f.render_camera(cam)
+    img_q = s_q.render_camera(cam)
+    assert int(s_q.last_stats["overflow"]) == 0
+    err = float(np.abs(np.asarray(img_q)[..., :3]
+                       - np.asarray(img_f)[..., :3]).max())
+    assert err < 2e-3
+    assert np.asarray(img_q).max() > 0.01
