@@ -13,6 +13,15 @@ evaluated under each granularity the kernels support:
   sub32        + skip 32-record sub-chunks per row block (SUB_CHUNKS=4)
   per-record   the reference's per-pixel break (draw.glsl:129) = lower bound
 
+These counts apply to the BACKWARD verbatim (r5): the composite backward
+is a forward-walk recompute with IDENTICAL saturation gating, so it
+visits exactly the pairs counted here -- there is no separate backward
+walk to model, and per-chunk transmittance checkpointing cannot shorten
+it (T is already a running carry in the single gated pass). The 1080p
+backward floor argument built on these counts + the measured trace kernel
+ratio (bwd/fwd = 1.64x on identical pair work vs a >= 2.2x op-count
+ratio) is in RESULTS.md r5.
+
 Run on CPU: PYTHONPATH=/root/repo python scripts/exit_model.py
 """
 
